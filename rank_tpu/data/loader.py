@@ -1,0 +1,95 @@
+"""In-memory array dataset + batch iterator.
+
+Replaces the reference's per-model ``WechatDataset``/``DataLoader``
+(``algorithm/DeepFM/deepfm.py:26-70``, ``algorithm/DIN/din.py:87-222``):
+the full dataset (~4M rows) fits in host RAM as flat numpy arrays, so the
+input pipeline is a zero-copy slice per step instead of a Python-object
+Dataset with worker processes. Batches have fully static shapes (fixed
+sequence length instead of the reference's pad-to-batch-max collate,
+``din.py:176-222``), which is what XLA wants.
+
+For multi-host training each process keeps only its shard of the rows
+(``process_index``-strided), and the iterator yields per-host batches that
+``jax.make_array_from_process_local_data`` can assemble into a global
+data-parallel batch.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+Batch = Dict[str, np.ndarray]
+
+
+def num_rows(data: Batch) -> int:
+    return next(iter(data.values())).shape[0]
+
+
+def shard_for_process(data: Batch, process_index: int, process_count: int) -> Batch:
+    """Keep this host's strided shard of the rows."""
+    if process_count <= 1:
+        return data
+    return {k: v[process_index::process_count] for k, v in data.items()}
+
+
+class ArrayLoader:
+    """Batched iteration over a dict-of-arrays dataset.
+
+    ``drop_remainder=False`` pads the final short batch by repeating row 0
+    and reports the true count via the ``_valid`` mask key, so eval covers
+    every row (the reference evaluates all 609,037 test rows) while every
+    step keeps the same static shape.
+    """
+
+    def __init__(
+        self,
+        data: Batch,
+        batch_size: int,
+        shuffle: bool = False,
+        seed: int = 42,
+        drop_remainder: bool = True,
+    ):
+        self.data = data
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_remainder = drop_remainder
+        self._rng = np.random.default_rng(seed)
+        self.n = num_rows(data)
+
+    def __len__(self) -> int:
+        if self.drop_remainder:
+            return self.n // self.batch_size
+        return -(-self.n // self.batch_size)
+
+    def __iter__(self) -> Iterator[Batch]:
+        order = np.arange(self.n)
+        if self.shuffle:
+            self._rng.shuffle(order)
+        bs = self.batch_size
+        num_full = self.n // bs
+        for i in range(num_full):
+            idx = order[i * bs : (i + 1) * bs]
+            batch = {k: v[idx] for k, v in self.data.items()}
+            batch["_valid"] = np.ones((bs,), np.float32)
+            yield batch
+        rem = self.n - num_full * bs
+        if rem and not self.drop_remainder:
+            idx = np.concatenate([order[num_full * bs :], np.zeros(bs - rem, np.int64)])
+            batch = {k: v[idx] for k, v in self.data.items()}
+            valid = np.zeros((bs,), np.float32)
+            valid[:rem] = 1.0
+            batch["_valid"] = valid
+            yield batch
+
+
+def split_train_test(data: Batch, test_fraction: float = 0.15, seed: int = 0):
+    """Deterministic row split (synthetic-data stand-in for the reference's
+    date_-based train/test split, DataGenerator.py:371-372)."""
+    n = num_rows(data)
+    rng = np.random.default_rng(seed)
+    order = rng.permutation(n)
+    cut = int(n * (1.0 - test_fraction))
+    tr, te = order[:cut], order[cut:]
+    return ({k: v[tr] for k, v in data.items()}, {k: v[te] for k, v in data.items()})

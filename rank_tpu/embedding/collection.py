@@ -1,0 +1,126 @@
+"""Per-field embedding collection.
+
+Replaces the per-model ``nn.Embedding`` dicts (``algorithm/DIN/
+din.py:251-260``, ``dcn.py:130-137``, ``bst.py:181-189``, ...) with one
+module driven by the FeatureSchema. Preserves reference semantics:
+
+  * vocab sizes include the OOV slot at row 0 (deepfm.py:80-86);
+  * per-field embedding dims (din.py:251-260 convention);
+  * table sharing between a categorical feature and a sequence feature
+    (DIN's target ``feedid`` and ``his_read_comment_7d_seq`` share one
+    table in spirit — the reference actually allocates two tables over the
+    same vocab, din.py:258-259; we expose both behaviours via
+    ``shares_table_with`` in the schema, defaulting to shared which is the
+    paper-standard choice).
+
+Sharding: tables are created with a logical partitioning annotation on the
+vocab axis (``nn.with_partitioning`` over the 'table' logical axis), so
+under a mesh with a nontrivial 'table' axis the big tables (feedid:
+106,444x16) are row-sharded and XLA/GSPMD inserts the gather collectives;
+on a 1-D data mesh they are replicated. An explicit shard_map all-to-all
+path lives in ``rank_tpu.embedding.sharded``.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..features import FeatureSchema
+
+# torch nn.Embedding default init is N(0, 1); that is what the reference
+# models train with (fwfm re-inits xavier, fwfm.py:103-104). N(0,1) at dim
+# 16 is large for Adam lr 5e-3; we default to the truncated-normal(0.02)
+# that modern CTR stacks use, but expose 'normal' for strict parity runs.
+INITIALIZERS = {
+    "normal": nn.initializers.normal(stddev=1.0),
+    "truncated_normal": nn.initializers.truncated_normal(stddev=0.02),
+    "xavier_uniform": nn.initializers.xavier_uniform(),
+}
+
+
+class EmbeddingCollection(nn.Module):
+    """Owns one table per (non-shared) categorical/sequence feature."""
+
+    schema: FeatureSchema
+    init_name: str = "truncated_normal"
+    # extra per-field tables with custom dims, e.g. DeepFM's dim-1
+    # first-order tables: {"linear": 1} adds a parallel set of dim-1 tables.
+    param_dtype: jnp.dtype = jnp.float32
+
+    def _table_specs(self) -> Dict[str, tuple]:
+        """name -> (vocab_size, emb_dim) for each owned table."""
+        specs: Dict[str, tuple] = {}
+        for f in list(self.schema.categorical) + list(self.schema.sequence):
+            owner = f.shares_table_with or f.name
+            if owner == f.name:
+                specs[f.name] = (f.vocab_size, f.emb_dim)
+        return specs
+
+    def setup(self):
+        init = INITIALIZERS[self.init_name]
+        tables = {}
+        for name, (vocab, dim) in self._table_specs().items():
+            tables[name] = nn.Embed(
+                vocab,
+                dim,
+                embedding_init=nn.with_partitioning(init, ("table", None)),
+                param_dtype=self.param_dtype,
+                name=f"table_{name}",
+            )
+        self._tables = tables
+
+    def _owner(self, name: str) -> str:
+        for f in list(self.schema.categorical) + list(self.schema.sequence):
+            if f.name == name:
+                return f.shares_table_with or f.name
+        raise KeyError(name)
+
+    def lookup(self, name: str, ids: jnp.ndarray) -> jnp.ndarray:
+        """ids (B,) or (B, T) -> embeddings (B, D) / (B, T, D)."""
+        return self._tables[self._owner(name)](ids)
+
+    def __call__(self, name: str, ids: jnp.ndarray) -> jnp.ndarray:
+        return self.lookup(name, ids)
+
+
+class LinearEmbeddingCollection(nn.Module):
+    """Dim-1 'first order' tables (FM/FwFM linear terms; deepfm.py:90-93)."""
+
+    schema: FeatureSchema
+    fields: Sequence[str]
+
+    @nn.compact
+    def __call__(self, batch: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+        """Returns stacked first-order weights (B, F)."""
+        outs = []
+        for name in self.fields:
+            f = self.schema.categorical_feature(name)
+            table = nn.Embed(
+                f.vocab_size,
+                1,
+                embedding_init=nn.with_partitioning(
+                    nn.initializers.zeros, ("table", None)
+                ),
+                name=f"linear_{name}",
+            )
+            outs.append(table(batch[name])[..., 0])
+        return jnp.stack(outs, axis=-1)
+
+
+def stack_to_common_dim(
+    embs: Sequence[jnp.ndarray], dim: Optional[int] = None
+) -> jnp.ndarray:
+    """Stack per-field (B, D_f) embeddings into (B, F, D), zero-padding
+    fields whose dim is below the max (used by field-interaction models over
+    the heterogeneous per-field dims of the WeChat schema)."""
+    if dim is None:
+        dim = max(e.shape[-1] for e in embs)
+    padded = [
+        e if e.shape[-1] == dim
+        else jnp.pad(e, [(0, 0)] * (e.ndim - 1) + [(0, dim - e.shape[-1])])
+        for e in embs
+    ]
+    return jnp.stack(padded, axis=-2)

@@ -1,0 +1,138 @@
+"""Shared model plumbing: config dataclass + common feature assembly.
+
+One config-driven ``build_model`` (see registry.py) replaces the
+reference's 8+ per-model argparse mains (``deepfm.py:295-313``,
+``din.py:487-508``, ...). Hyperparameter names follow the reference CLIs
+where they exist.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..features import FeatureSchema
+from ..embedding.collection import INITIALIZERS, EmbeddingCollection
+
+Batch = Dict[str, jnp.ndarray]
+
+# Field sets used by the reference models:
+# DeepFM/FwFM: 6 cat incl. feedid, no tags (deepfm.py:42-44, fwfm.py:30)
+FM_FIELDS = ("userid", "feedid", "device", "authorid", "bgm_song_id", "bgm_singer_id")
+# AFM: 7 cat incl. feedid and manual_tag_list (afm.py:132-134)
+AFM_FIELDS = FM_FIELDS + ("manual_tag_list",)
+# DCN/DeepCrossing/DIN/BST: 6 cat with tags, no feedid (dcn.py:80-82)
+TOWER_FIELDS = ("userid", "device", "authorid", "bgm_song_id", "bgm_singer_id", "manual_tag_list")
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Union of every model's hyperparameters; unused fields are ignored.
+
+    Defaults are each reference model's best-AUC settings per
+    ``algorithm/<M>/result.md`` (see BASELINE.md).
+    """
+
+    name: str = "deepfm"
+    # tower (shared)
+    hidden_units: Tuple[int, ...] = (512, 256, 128)
+    dropout_rate: float = 0.1
+    batch_norm: bool = True
+    # uniform-dim embedding models (DeepFM/FwFM/AFM/FFM/PNN/xDeepFM/FiBiNet)
+    embedding_dim: int = 16
+    embedding_init: str = "truncated_normal"
+    # DIN
+    activation: str = "dice"
+    use_softmax: bool = True
+    l2_lambda: float = 0.2
+    mini_batch_aware_regularization: bool = False
+    # DCN
+    num_cross_layers: int = 3
+    # DeepCrossing
+    residual_internal_dim: int = 256
+    num_residual_units: int = 2
+    # AFM
+    attention_factor: int = 64
+    # BST
+    num_heads: int = 2
+    num_transformer_blocks: int = 2
+    pooling_method: str = "mean"  # sum | mean
+    # xDeepFM
+    cin_layer_sizes: Tuple[int, ...] = (128, 128)
+    # FiBiNet
+    bilinear_type: str = "interaction"
+    senet_reduction: int = 3
+    # PNN
+    pnn_mode: str = "inner"  # inner | outer | both
+    outer_outputs: int = 64
+    # DIEN
+    gru_hidden_dim: int = 16
+    use_aux_loss: bool = False
+    aux_loss_weight: float = 1.0
+    # multi-task (ESMM/MMOE/PLE)
+    tasks: Tuple[str, ...] = ("read_comment", "like", "click_avatar")
+    num_experts: int = 4
+    expert_units: Tuple[int, ...] = (256, 128)
+    tower_units: Tuple[int, ...] = (64,)
+    # PLE
+    num_levels: int = 2
+    specific_experts_per_task: int = 2
+    shared_experts: int = 2
+    # multi-hot tags: mean-pool the tag sequence instead of the reference's
+    # scalar manual_tag_list lookup (which almost always hits OOV row 0
+    # because it looks up the comma-joined string; afm.py:133 note).
+    multihot_tags: bool = True
+    # sequence feature used by DIN/BST/DIEN
+    seq_feature: str = "his_read_comment_7d_seq"
+
+    def replace(self, **kw) -> "ModelConfig":
+        return dataclasses.replace(self, **kw)
+
+
+class RankModel(nn.Module):
+    """Base: every model takes the full batch and returns an output dict
+    {"logits": (B,) | {task: (B,)}, "aux_loss": scalar}."""
+
+    schema: FeatureSchema
+    cfg: ModelConfig
+
+    def dense_input(self, batch: Batch) -> jnp.ndarray:
+        return batch["dense"]
+
+    def uniform_tables(self, fields: Sequence[str], dim: int, prefix: str = "emb"):
+        """Create per-field tables with one shared dim (FM-family models)."""
+        init = INITIALIZERS[self.cfg.embedding_init]
+        return {
+            name: nn.Embed(
+                self.schema.categorical_feature(name).vocab_size,
+                dim,
+                embedding_init=nn.with_partitioning(init, ("table", None)),
+                name=f"{prefix}_{name}",
+            )
+            for name in fields
+        }
+
+    def tower_field_embeddings(
+        self, collection: EmbeddingCollection, batch: Batch
+    ) -> List[jnp.ndarray]:
+        """Per-field-dim embeddings for the 6 tower fields, with optional
+        multi-hot tag pooling (mean over valid tags)."""
+        outs = []
+        for name in TOWER_FIELDS:
+            if name == "manual_tag_list" and self.cfg.multihot_tags:
+                seq = batch["manual_tag_seq"]  # (B, T)
+                lengths = batch["manual_tag_seq_length"]
+                emb = collection.lookup("manual_tag_seq", seq)  # (B, T, D)
+                mask = (seq > 0)[..., None].astype(emb.dtype)
+                denom = jnp.maximum(lengths[:, None].astype(emb.dtype), 1.0)
+                outs.append(jnp.sum(emb * mask, axis=1) / denom)
+            else:
+                outs.append(collection.lookup(name, batch[name]))
+        return outs
+
+
+def single_task_output(logits: jnp.ndarray, aux_loss=0.0) -> Dict:
+    return {"logits": logits.reshape(-1), "aux_loss": jnp.asarray(aux_loss, jnp.float32)}

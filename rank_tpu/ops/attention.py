@@ -1,0 +1,93 @@
+"""Target attention over behaviour sequences (DIN / DIEN forms).
+
+Parity targets:
+  * DIN attention — ``algorithm/DIN/din_attention.py:5-51`` (inline copy
+    ``din.py:42-84``): cross-features [q, k, q-k, q*k] -> MLP(4d->64->32->1)
+    scores; mask by sequence length; either scaled masked softmax
+    (``use_softmax``) or raw masked scores; weighted-sum pool over keys.
+    The reference re-creates the attention MLP inside every forward call
+    (``din.py:61-67``) so it is never trained; here it is a registered
+    submodule, per the paper.
+  * DIEN bilinear attention — ``algorithm/DIEN/dien.py:205-218``:
+    scores = h . (W . e_target), masked softmax.
+
+Zero-length sequences (tested by the reference's own smoke test,
+``din_attention.py:60``) yield an all-zero pooled vector in both paths.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+MASK_NEG = -(2.0**32) + 1.0  # reference padding value, din.py:74
+
+
+def length_mask(lengths: jnp.ndarray, max_len: int) -> jnp.ndarray:
+    """(B,) lengths -> (B, T) boolean validity mask."""
+    t = jnp.arange(max_len, dtype=lengths.dtype)[None, :]
+    return t < lengths[:, None]
+
+
+def masked_softmax(scores: jnp.ndarray, mask: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    """Numerically-safe softmax that returns zeros where every position is
+    masked (rather than NaN, which torch's all(-inf) softmax produces)."""
+    neg = jnp.asarray(MASK_NEG, scores.dtype)
+    masked = jnp.where(mask, scores, neg)
+    m = jnp.max(masked, axis=axis, keepdims=True)
+    e = jnp.exp(masked - m) * mask.astype(scores.dtype)
+    denom = jnp.sum(e, axis=axis, keepdims=True)
+    return e / jnp.maximum(denom, 1e-12)
+
+
+class DINAttention(nn.Module):
+    """DIN local-activation unit with a registered scoring MLP."""
+
+    hidden_units: Sequence[int] = (64, 32)
+    use_softmax: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        query: jnp.ndarray,   # (B, D) target item embedding
+        keys: jnp.ndarray,    # (B, T, D) behaviour sequence embeddings
+        lengths: jnp.ndarray, # (B,) valid lengths
+    ) -> jnp.ndarray:
+        b, t, d = keys.shape
+        q = jnp.broadcast_to(query[:, None, :], keys.shape)
+        cross = jnp.concatenate([q, keys, q - keys, q * keys], axis=-1)  # (B,T,4D)
+        h = cross
+        for width in self.hidden_units:
+            h = nn.relu(nn.Dense(width)(h))
+        scores = nn.Dense(1)(h)[..., 0]  # (B, T)
+        mask = length_mask(lengths, t)
+        if self.use_softmax:
+            # reference scales by sqrt(d) AFTER masking (din.py:74-77)
+            scores = jnp.where(mask, scores, jnp.asarray(MASK_NEG, scores.dtype))
+            scores = scores / jnp.sqrt(jnp.asarray(d, scores.dtype))
+            weights = masked_softmax(scores, mask)
+        else:
+            weights = jnp.where(mask, scores, 0.0)
+        return jnp.einsum("bt,btd->bd", weights, keys)
+
+
+class BilinearAttention(nn.Module):
+    """DIEN's paper-form attention: score_t = h_t . (W e_target)."""
+
+    @nn.compact
+    def __call__(
+        self,
+        query: jnp.ndarray,   # (B, Dq)
+        keys: jnp.ndarray,    # (B, T, Dk)
+        lengths: jnp.ndarray, # (B,)
+    ) -> jnp.ndarray:
+        b, t, dk = keys.shape
+        w = self.param(
+            "w", nn.initializers.xavier_normal(), (query.shape[-1], dk)
+        )
+        proj = query @ w  # (B, Dk)
+        scores = jnp.einsum("btd,bd->bt", keys, proj)
+        mask = length_mask(lengths, t)
+        return masked_softmax(scores, mask)  # (B, T) attention weights

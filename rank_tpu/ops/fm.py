@@ -1,0 +1,90 @@
+"""Factorization-machine interactions (FM / FwFM / FFM / AFM pooling).
+
+Parity targets:
+  * FM first order  — ``algorithm/DeepFM/deepfm.py:122-127``
+  * FM second order — ``deepfm.py:128-140`` (0.5*((sum v)^2 - sum v^2))
+  * FwFM pairwise   — ``algorithm/FwFM/fwfm.py:125-137``: r_ij * <v_i, v_j>
+  * FFM             — README.md:19 (Juan et al. 2016), no reference code;
+    field-aware embeddings v_{i,f_j}, pair term <v_{i,f_j}, v_{j,f_i}>.
+
+All ops take a stacked field-embedding tensor ``(B, F, D)`` — fields are
+padded to a common dim by the embedding collection when needed — and are
+batched-vectorised (no Python loops over pairs at runtime; pair indices are
+static numpy, so XLA sees fixed gathers feeding one fused contraction).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def pair_indices(num_fields: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Static upper-triangle (i<j) field pair indices."""
+    iu, ju = np.triu_indices(num_fields, k=1)
+    return iu.astype(np.int32), ju.astype(np.int32)
+
+
+def fm_first_order(weights: jnp.ndarray) -> jnp.ndarray:
+    """Sum of per-field scalar weights. weights: (B, F) or (B, F, 1)."""
+    if weights.ndim == 3:
+        weights = weights[..., 0]
+    return jnp.sum(weights, axis=-1, keepdims=True)  # (B, 1)
+
+
+def fm_second_order(emb: jnp.ndarray, keepdims: bool = True) -> jnp.ndarray:
+    """Classic FM identity: 0.5 * ((sum_f v)^2 - sum_f v^2), summed over D.
+
+    emb: (B, F, D) -> (B, 1) logit contribution.
+    """
+    sum_emb = jnp.sum(emb, axis=1)  # (B, D)
+    sum_sq = jnp.square(sum_emb)
+    sq_sum = jnp.sum(jnp.square(emb), axis=1)  # (B, D)
+    out = 0.5 * jnp.sum(sum_sq - sq_sum, axis=-1, keepdims=keepdims)
+    return out
+
+
+def fm_second_order_vector(emb: jnp.ndarray) -> jnp.ndarray:
+    """FM second order pooled to a (B, D) vector (NFM-style bi-interaction)."""
+    sum_emb = jnp.sum(emb, axis=1)
+    sq_sum = jnp.sum(jnp.square(emb), axis=1)
+    return 0.5 * (jnp.square(sum_emb) - sq_sum)
+
+
+def pairwise_hadamard(emb: jnp.ndarray) -> jnp.ndarray:
+    """All F*(F-1)/2 elementwise pair products, (B, F, D) -> (B, P, D).
+
+    The AFM interaction tensor (afm.py:100-108), without the Python loop.
+    """
+    i, j = pair_indices(emb.shape[1])
+    return emb[:, i, :] * emb[:, j, :]
+
+
+def pairwise_dot(emb: jnp.ndarray) -> jnp.ndarray:
+    """All pair inner products, (B, F, D) -> (B, P)."""
+    return jnp.sum(pairwise_hadamard(emb), axis=-1)
+
+
+def fwfm_interaction(emb: jnp.ndarray, field_weights: jnp.ndarray) -> jnp.ndarray:
+    """Field-weighted FM pair term: sum_p r_p * <v_i, v_j>.
+
+    emb: (B, F, D); field_weights: (P,) learned, P = F*(F-1)/2.
+    Returns (B, 1). Matches fwfm.py:127-135 semantics.
+    """
+    dots = pairwise_dot(emb)  # (B, P)
+    return jnp.sum(dots * field_weights[None, :], axis=-1, keepdims=True)
+
+
+def ffm_interaction(field_aware_emb: jnp.ndarray) -> jnp.ndarray:
+    """Field-aware FM pair term.
+
+    field_aware_emb: (B, F, F, D) where [:, i, j] is v_{i, f_j} — field i's
+    embedding specialised for interacting with field j.
+    Returns (B, 1): sum over pairs of <v_{i,f_j}, v_{j,f_i}>.
+    """
+    i, j = pair_indices(field_aware_emb.shape[1])
+    vi = field_aware_emb[:, i, j, :]  # (B, P, D)
+    vj = field_aware_emb[:, j, i, :]  # (B, P, D)
+    return jnp.sum(vi * vj, axis=(1, 2))[:, None]
