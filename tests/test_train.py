@@ -1,0 +1,115 @@
+"""End-to-end training on the synthetic dataset over the 8-device CPU mesh:
+models must actually learn (AUC well above 0.5), checkpoints round-trip,
+and predictions export."""
+
+import os
+
+import numpy as np
+import pytest
+
+from rank_tpu.data.loader import ArrayLoader, split_train_test
+from rank_tpu.data.synthetic import make_synthetic_dataset
+from rank_tpu.features import tiny_schema
+from rank_tpu.models import default_config
+from rank_tpu.train import CheckpointManager, TrainConfig, Trainer, export_predictions
+
+SCHEMA = tiny_schema(vocab=128, hist_len=8)
+DATA = make_synthetic_dataset(SCHEMA, num_rows=6144, seed=0)
+TRAIN, TEST = split_train_test(DATA, test_fraction=0.25)
+
+
+def _small(name, **kw):
+    return default_config(name).replace(
+        hidden_units=(32, 16), embedding_dim=8, num_cross_layers=2,
+        residual_internal_dim=16, cin_layer_sizes=(8, 8), attention_factor=8,
+        expert_units=(16,), tower_units=(8,), gru_hidden_dim=8,
+        num_transformer_blocks=1, **kw,
+    )
+
+
+def _run(model_name, epochs=3, **cfg_kw):
+    trainer = Trainer(
+        SCHEMA,
+        _small(model_name, **cfg_kw),
+        TrainConfig(batch_size=512, learning_rate=0.005, log_every=0),
+    )
+    state = trainer.init_state(next(iter(ArrayLoader(TRAIN, 512))))
+    for epoch in range(1, epochs + 1):
+        loader = ArrayLoader(TRAIN, 512, shuffle=True, seed=epoch)
+        state, train_stats = trainer.train_epoch(state, loader, epoch)
+    eval_loader = ArrayLoader(TEST, 512, drop_remainder=False)
+    stats = trainer.evaluate(state, eval_loader, epochs)
+    return trainer, state, stats
+
+
+def test_dcn_learns():
+    _, _, stats = _run("dcn")
+    assert stats["auc"] > 0.62, stats
+
+
+def test_deepfm_learns():
+    # DeepFM sees only the 6 categorical ids (no dense features,
+    # deepfm.py:42-44), so it generalises mainly by memorising per-id
+    # factors — weaker on synthetic data; just require clear signal.
+    _, _, stats = _run("deepfm", epochs=4)
+    assert stats["auc"] > 0.55, stats
+
+
+def test_din_learns():
+    _, _, stats = _run("din")
+    assert stats["auc"] > 0.62, stats
+
+
+def test_mmoe_multitask():
+    _, _, stats = _run("mmoe", epochs=4)
+    assert set(stats["task_aucs"]) == {"read_comment", "like", "click_avatar"}
+    assert stats["task_aucs"]["read_comment"] > 0.55, stats["task_aucs"]
+
+
+def test_esmm_runs():
+    _, _, stats = _run("esmm", epochs=1)
+    assert set(stats["task_aucs"]) == {"ctr", "ctcvr"}
+    assert np.isfinite(stats["loss"])
+
+
+def test_eval_covers_all_rows():
+    """drop_remainder=False + _valid mask must cover every test row."""
+    loader = ArrayLoader(TEST, 512, drop_remainder=False)
+    total = sum(int(b["_valid"].sum()) for b in loader)
+    assert total == next(iter(TEST.values())).shape[0]
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    trainer, state, stats = _run("dcn", epochs=1)
+    mgr = CheckpointManager(str(tmp_path / "model_dir"))
+    mgr.save_best(state)
+    assert mgr.has_best()
+    # perturb params, restore, evaluate -> same AUC
+    import jax
+
+    perturbed = dict(state)
+    perturbed["params"] = jax.tree_util.tree_map(
+        lambda x: x * 0.0, state["params"]
+    )
+    restored = mgr.restore_best(perturbed)
+    eval_loader = ArrayLoader(TEST, 512, drop_remainder=False)
+    stats2 = trainer.evaluate(restored, eval_loader)
+    assert abs(stats2["auc"] - stats["auc"]) < 1e-6
+
+    mgr.save_epoch(state, 1, {"eval_auc": stats["auc"]})
+    assert mgr.latest_epoch() == 1
+    state3, epoch = mgr.restore_epoch(perturbed, 1)
+    assert epoch == 1
+    stats3 = trainer.evaluate(state3, eval_loader)
+    assert abs(stats3["auc"] - stats["auc"]) < 1e-6
+
+
+def test_predictions_export(tmp_path):
+    n = 100
+    labels = np.random.default_rng(0).integers(0, 2, n).astype(np.float32)
+    probs = np.random.default_rng(1).random(n).astype(np.float32)
+    path = export_predictions(str(tmp_path), labels, probs)
+    assert os.path.exists(path)
+    lines = open(path).read().strip().split("\n")
+    assert lines[0] == "read_comment,probability"
+    assert len(lines) == n + 1
