@@ -60,6 +60,8 @@ class TrainConfig:
     log_every: int = 100
     compute_dtype: str = "float32"  # float32 | bfloat16
     profile_dir: Optional[str] = None  # jax.profiler trace output
+    # tables smaller than this stay replicated even on a table-sharded mesh
+    min_rows_to_shard: int = 1024
 
 
 def _labels_for(model_cfg: ModelConfig, train_cfg: TrainConfig, schema: FeatureSchema):
@@ -163,16 +165,37 @@ class Trainer:
             partial(self.model.init, train=True), rngs, batch
         )
         specs = nn.get_partition_spec(abstract)
-        rules = (("table", TABLE_AXIS),)
-        mesh_specs = nn.logical_to_mesh(specs, rules)
 
         def unboxed_init(rngs, batch):
             variables = self.model.init(rngs, batch, train=True)
             return nn.meta.unbox(variables)
 
+        # Row-shard a table only when its vocab axis divides the table-mesh
+        # axis and is big enough to be worth scattering; small tables
+        # (device: 3 rows, tags: 351) stay replicated — gathers on them are
+        # cheap and replication avoids tiny uneven shards.
+        table_size = self.mesh.shape[TABLE_AXIS]
+        min_rows_to_shard = self.cfg.min_rows_to_shard
+
+        def _pick(spec, abstract_leaf):
+            if (
+                spec
+                and len(spec) > 0
+                and spec[0] == "table"
+                and (
+                    abstract_leaf.shape[0] % table_size != 0
+                    or abstract_leaf.shape[0] < min_rows_to_shard
+                )
+            ):
+                spec = P()
+            else:
+                spec = P(*[TABLE_AXIS if s == "table" else s for s in spec])
+            return NamedSharding(self.mesh, spec)
+
         var_shardings = jax.tree_util.tree_map(
-            lambda spec: NamedSharding(self.mesh, spec),
-            nn.meta.unbox(mesh_specs),
+            _pick,
+            nn.meta.unbox(specs),
+            nn.meta.unbox(abstract),
             is_leaf=lambda x: isinstance(x, P),
         )
         variables = jax.jit(unboxed_init, out_shardings=var_shardings)(
