@@ -1,0 +1,252 @@
+"""Benchmark: train-step throughput (examples/s/chip) for DCN + BST.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "examples/s/chip", "vs_baseline": N}
+
+- value: geometric mean of steady-state JAX-on-TPU training throughput for
+  the DCN and BST reference configs (WeChat schema, full vocab sizes).
+- vs_baseline: geomean speedup vs a PyTorch-CPU implementation of the same
+  two models (the reference runs PyTorch on "cuda if available, else CPU",
+  deepfm.py:215, and published no hardware numbers — BASELINE.json sets
+  the target at >=3x vs PyTorch-CPU).
+
+Run: python bench.py  (uses the real TPU chip; falls back to whatever JAX
+default platform is available).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BATCH_JAX = 8192   # TPU batch (amortises dispatch latency; quality runs use 1024)
+BATCH_TORCH = 1024  # reference default batch size (deepfm.py:304)
+JAX_STEPS = 30
+JAX_WARMUP = 5
+TORCH_STEPS = 6
+TORCH_WARMUP = 2
+HIST_LEN = 50
+
+
+def bench_jax(model_name: str) -> float:
+    import jax
+
+    from rank_tpu.data.synthetic import make_synthetic_dataset
+    from rank_tpu.features import WECHAT_SCHEMA
+    from rank_tpu.models import default_config
+    from rank_tpu.train import TrainConfig, Trainer
+    from rank_tpu.train import metrics as M
+
+    trainer = Trainer(
+        WECHAT_SCHEMA,
+        default_config(model_name),
+        TrainConfig(batch_size=BATCH_JAX, log_every=0),
+    )
+    data = make_synthetic_dataset(WECHAT_SCHEMA, num_rows=BATCH_JAX * 4, seed=0)
+    batches = []
+    for i in range(4):
+        b = {k: v[i * BATCH_JAX : (i + 1) * BATCH_JAX] for k, v in data.items()}
+        b["_valid"] = np.ones((BATCH_JAX,), np.float32)
+        batches.append(trainer._host_to_device(b))
+
+    state = trainer.init_state(batches[0])
+    step_fn = trainer._get_compiled("train")
+    auc_state = M.auc_state_init()
+
+    for i in range(JAX_WARMUP):
+        state, auc_state, stats = step_fn(state, auc_state, batches[i % 4])
+    jax.block_until_ready(stats["loss"])
+
+    t0 = time.perf_counter()
+    for i in range(JAX_STEPS):
+        state, auc_state, stats = step_fn(state, auc_state, batches[i % 4])
+    jax.block_until_ready(stats["loss"])
+    dt = time.perf_counter() - t0
+    return BATCH_JAX * JAX_STEPS / dt
+
+
+# ---------------------------------------------------------------------------
+# PyTorch-CPU baseline (reference-faithful model structures)
+# ---------------------------------------------------------------------------
+
+VOCABS = {
+    "userid": 19_627, "feedid": 106_445, "device": 3, "authorid": 18_790,
+    "bgm_song_id": 25_160, "bgm_singer_id": 17_501, "manual_tag_list": 351,
+}
+EMB_DIMS = {
+    "userid": 16, "device": 2, "authorid": 4, "bgm_song_id": 4,
+    "bgm_singer_id": 4, "manual_tag_list": 4,
+}
+
+
+def _torch_models():
+    import torch
+    import torch.nn as nn
+
+    class TorchDCN(nn.Module):
+        """Reference DCN structure (dcn.py:114-180) with *registered* cross
+        weights (the fair comparison; the reference's were untrained)."""
+
+        def __init__(self):
+            super().__init__()
+            self.emb = nn.ModuleDict(
+                {k: nn.Embedding(VOCABS[k], d) for k, d in EMB_DIMS.items()}
+            )
+            self.input_dim = 16 + sum(EMB_DIMS.values())
+            self.cross_w = nn.ParameterList(
+                [nn.Parameter(torch.randn(self.input_dim, 1) * 0.02) for _ in range(3)]
+            )
+            self.cross_b = nn.ParameterList(
+                [nn.Parameter(torch.zeros(self.input_dim)) for _ in range(3)]
+            )
+            layers, d = [], self.input_dim
+            for h in (512, 256, 128):
+                layers += [nn.Linear(d, h), nn.ReLU()]
+                d = h
+            self.dnn = nn.Sequential(*layers)
+            self.out = nn.Linear(self.input_dim + 128, 1)
+
+        def forward(self, dense, cats):
+            embs = [self.emb[k](cats[k]) for k in EMB_DIMS]
+            x0 = torch.cat([dense] + embs, dim=1)
+            x = x0
+            for w, b in zip(self.cross_w, self.cross_b):
+                x = x0 * (x @ w) + b + x
+            deep = self.dnn(x0)
+            return self.out(torch.cat([x, deep], dim=1)).squeeze(1)
+
+    class TorchBST(nn.Module):
+        """Reference BST structure (bst.py:162-247): 2 transformer blocks,
+        2 heads, mean pooling, LeakyReLU tower with BN+dropout."""
+
+        def __init__(self, t=HIST_LEN + 1):
+            super().__init__()
+            self.emb = nn.ModuleDict(
+                {k: nn.Embedding(VOCABS[k], d) for k, d in EMB_DIMS.items()}
+            )
+            self.feed_emb = nn.Embedding(VOCABS["feedid"], 16)
+            self.pos = nn.Embedding(t, 16)
+            self.blocks = nn.ModuleList()
+            for _ in range(2):
+                blk = nn.ModuleDict(
+                    {
+                        "wq": nn.Linear(16, 16), "wk": nn.Linear(16, 16),
+                        "wv": nn.Linear(16, 16), "wo": nn.Linear(16, 16),
+                        "n1": nn.LayerNorm(16), "n2": nn.LayerNorm(16),
+                        "ff1": nn.Linear(16, 16), "ff2": nn.Linear(16, 16),
+                    }
+                )
+                self.blocks.append(blk)
+            d = 16 + sum(EMB_DIMS.values()) + 16
+            layers = []
+            for h in (512, 256, 128):
+                layers += [
+                    nn.Linear(d, h), nn.BatchNorm1d(h),
+                    nn.LeakyReLU(0.01), nn.Dropout(0.1),
+                ]
+                d = h
+            layers.append(nn.Linear(d, 1))
+            self.dnn = nn.Sequential(*layers)
+
+        def forward(self, dense, cats, seq, lengths):
+            import torch
+            import torch.nn.functional as F
+
+            b, t = seq.shape
+            h = self.feed_emb(seq) + self.pos(torch.arange(t))[None]
+            mask = torch.arange(t)[None, :] >= lengths[:, None]
+            for blk in self.blocks:
+                q = blk["wq"](h).view(b, t, 2, 8).transpose(1, 2)
+                k = blk["wk"](h).view(b, t, 2, 8).transpose(1, 2)
+                v = blk["wv"](h).view(b, t, 2, 8).transpose(1, 2)
+                s = (q @ k.transpose(-2, -1)) / np.sqrt(8.0)
+                s = s.masked_fill(mask[:, None, None, :], -1e9)
+                ctx = (F.softmax(s, -1) @ v).transpose(1, 2).reshape(b, t, 16)
+                h1 = blk["n1"](h + blk["wo"](ctx))
+                h = blk["n2"](h1 + blk["ff2"](F.leaky_relu(blk["ff1"](h1), 0.01)))
+            pooled = h.sum(1) / lengths.clamp(min=1)[:, None]
+            embs = [self.emb[kk](cats[kk]) for kk in EMB_DIMS]
+            x = torch.cat([dense] + embs + [pooled], dim=1)
+            return self.dnn(x).squeeze(1)
+
+    return TorchDCN, TorchBST
+
+
+def bench_torch(model_name: str) -> float:
+    import torch
+
+    torch.manual_seed(0)
+    torch.set_num_threads(max(1, (torch.get_num_threads())))
+    TorchDCN, TorchBST = _torch_models()
+    rng = np.random.default_rng(0)
+    b = BATCH_TORCH
+    dense = torch.tensor(rng.normal(size=(b, 16)).astype(np.float32))
+    cats = {
+        k: torch.tensor(rng.integers(0, VOCABS[k], size=b), dtype=torch.long)
+        for k in EMB_DIMS
+    }
+    labels = torch.tensor((rng.random(b) < 0.1).astype(np.float32))
+    if model_name == "dcn":
+        model = TorchDCN()
+        args = (dense, cats)
+    else:
+        seq = torch.tensor(
+            rng.integers(0, VOCABS["feedid"], size=(b, HIST_LEN + 1)),
+            dtype=torch.long,
+        )
+        lengths = torch.tensor(
+            rng.integers(1, HIST_LEN + 1, size=b), dtype=torch.long
+        )
+        model = TorchBST()
+        args = (dense, cats, seq, lengths)
+    model.train()
+    opt = torch.optim.Adam(model.parameters(), lr=0.005)
+    crit = torch.nn.BCEWithLogitsLoss()
+
+    def step():
+        opt.zero_grad()
+        loss = crit(model(*args), labels)
+        loss.backward()
+        opt.step()
+
+    for _ in range(TORCH_WARMUP):
+        step()
+    t0 = time.perf_counter()
+    for _ in range(TORCH_STEPS):
+        step()
+    dt = time.perf_counter() - t0
+    return b * TORCH_STEPS / dt
+
+
+def main():
+    results = {}
+    for model in ("dcn", "bst"):
+        jax_eps = bench_jax(model)
+        torch_eps = bench_torch(model)
+        results[model] = {
+            "jax_tpu": jax_eps,
+            "torch_cpu": torch_eps,
+            "speedup": jax_eps / torch_eps,
+        }
+        print(
+            f"# {model}: jax_tpu={jax_eps:,.0f} ex/s  "
+            f"torch_cpu={torch_eps:,.0f} ex/s  x{jax_eps/torch_eps:.1f}",
+            file=sys.stderr,
+        )
+    value = float(np.sqrt(results["dcn"]["jax_tpu"] * results["bst"]["jax_tpu"]))
+    vs = float(np.sqrt(results["dcn"]["speedup"] * results["bst"]["speedup"]))
+    print(
+        json.dumps(
+            {
+                "metric": "train_examples_per_s_per_chip_dcn_bst_geomean",
+                "value": round(value, 1),
+                "unit": "examples/s/chip",
+                "vs_baseline": round(vs, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
