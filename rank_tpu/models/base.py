@@ -87,6 +87,8 @@ class ModelConfig:
     multihot_tags: bool = True
     # sequence feature used by DIN/BST/DIEN
     seq_feature: str = "his_read_comment_7d_seq"
+    # Pallas kernel dispatch: 'auto' (TPU->pallas, CPU->jnp), 'jnp', 'pallas'
+    kernel_backend: str = "auto"
 
     def replace(self, **kw) -> "ModelConfig":
         return dataclasses.replace(self, **kw)

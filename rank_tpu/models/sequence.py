@@ -42,9 +42,11 @@ class DIN(RankModel):
         lengths = batch[cfg.seq_feature + "_length"]
         seq_emb = coll.lookup(cfg.seq_feature, seq)  # (B, T, 16)
 
-        att_out = ops.DINAttention(use_softmax=cfg.use_softmax, name="attention")(
-            target_emb, seq_emb, lengths
-        )
+        att_out = ops.DINAttention(
+            use_softmax=cfg.use_softmax,
+            backend=cfg.kernel_backend,
+            name="attention",
+        )(target_emb, seq_emb, lengths)
         x = jnp.concatenate(
             [self.dense_input(batch)] + field_embs + [target_emb, att_out], axis=-1
         )
