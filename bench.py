@@ -52,17 +52,22 @@ def bench_jax(model_name: str) -> float:
 
     state = trainer.init_state(batches[0])
     step_fn = trainer._get_compiled("train")
-    auc_state = M.auc_state_init()
+    meters = trainer.meters_init()
 
     for i in range(JAX_WARMUP):
-        state, auc_state, stats = step_fn(state, auc_state, batches[i % 4])
-    jax.block_until_ready(stats["loss"])
+        state, meters = step_fn(state, meters, batches[i % 4])
+    jax.block_until_ready(meters["loss"])
 
-    t0 = time.perf_counter()
-    for i in range(JAX_STEPS):
-        state, auc_state, stats = step_fn(state, auc_state, batches[i % 4])
-    jax.block_until_ready(stats["loss"])
-    dt = time.perf_counter() - t0
+    # median of 3 timed repeats — throughput through the shared tunnel is
+    # noisy, and a transiently-degraded window shouldn't define the number
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for i in range(JAX_STEPS):
+            state, meters = step_fn(state, meters, batches[i % 4])
+        jax.block_until_ready(meters["loss"])
+        times.append(time.perf_counter() - t0)
+    dt = sorted(times)[1]
     return BATCH_JAX * JAX_STEPS / dt
 
 

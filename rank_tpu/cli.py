@@ -73,6 +73,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--label", type=str, default="read_comment")
     p.add_argument("--profile_dir", type=str, default=None)
     p.add_argument("--multihot_tags", type=_str2bool, default=None)
+    p.add_argument(
+        "--device_resident", type=_str2bool, default=True,
+        help="stage the whole dataset in HBM and run each epoch as one "
+        "jitted scan (single-process; falls back to streaming otherwise)",
+    )
     return p
 
 
@@ -165,8 +170,16 @@ def main(argv=None) -> int:
         train_cfg.batch_size // jax.process_count(), jax.local_device_count()
     )
 
-    sample = next(iter(ArrayLoader(train_data, per_host_bs)))
-    state = trainer.init_state(sample)
+    use_staged = args.device_resident and jax.process_count() == 1
+    runner = None
+    if use_staged:
+        from .train.staged import StagedRunner
+
+        runner = StagedRunner(trainer, train_data, eval_data, per_host_bs)
+        state = runner.init_state()
+    else:
+        sample = next(iter(ArrayLoader(train_data, per_host_bs)))
+        state = trainer.init_state(sample)
     mgr = CheckpointManager(args.model_dir)
 
     start_epoch = 1
@@ -177,13 +190,21 @@ def main(argv=None) -> int:
         best_auc = mgr.epoch_metrics(epoch).get("best_auc", 0.0)
         print(f"resumed from checkpoint_epoch_{epoch} (best_auc={best_auc:.4f})")
 
+    def run_eval(epoch):
+        if runner is not None:
+            return runner.evaluate(state, epoch)
+        loader = ArrayLoader(eval_data, per_host_bs, drop_remainder=False)
+        return trainer.evaluate(state, loader, epoch)
+
     for epoch in range(start_epoch, args.num_epochs + 1):
-        loader = ArrayLoader(
-            train_data, per_host_bs, shuffle=True, seed=train_cfg.seed + epoch
-        )
-        state, _ = trainer.train_epoch(state, loader, epoch)
-        eval_loader = ArrayLoader(eval_data, per_host_bs, drop_remainder=False)
-        stats = trainer.evaluate(state, eval_loader, epoch)
+        if runner is not None:
+            state, _ = runner.train_epoch(state, epoch, train_cfg.seed)
+        else:
+            loader = ArrayLoader(
+                train_data, per_host_bs, shuffle=True, seed=train_cfg.seed + epoch
+            )
+            state, _ = trainer.train_epoch(state, loader, epoch)
+        stats = run_eval(epoch)
         if stats["auc"] > best_auc:
             best_auc = stats["auc"]
             mgr.save_best(state)
@@ -196,8 +217,7 @@ def main(argv=None) -> int:
     # reload best, export predictions (deepfm.py:273-293)
     if mgr.has_best():
         state = mgr.restore_best(state)
-    eval_loader = ArrayLoader(eval_data, per_host_bs, drop_remainder=False)
-    stats = trainer.evaluate(state, eval_loader)
+    stats = run_eval(args.num_epochs)
     primary = "ctr" if "ctr" in stats["predictions"] else next(iter(trainer.label_cols))
     preds = stats["predictions"][primary]
     mask = stats["valid"] > 0

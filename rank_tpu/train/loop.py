@@ -237,7 +237,16 @@ class Trainer:
 
     # -- steps ------------------------------------------------------------
 
-    def _train_step(self, state, auc_state, batch):
+    @staticmethod
+    def meters_init():
+        m = M.auc_state_init()
+        m.update(
+            loss=jnp.zeros(()), correct=jnp.zeros(()), count=jnp.zeros(()),
+            steps=jnp.zeros(()),
+        )
+        return m
+
+    def _train_step(self, state, meters, batch):
         rng, new_rng = jax.random.split(state["rng"])
         grad_fn = jax.value_and_grad(self.loss_fn, has_aux=True)
         (loss, (probs, mutated)), grads = grad_fn(
@@ -257,7 +266,8 @@ class Trainer:
             "step": state["step"] + 1,
             "rng": new_rng,
         }
-        # metrics on the primary head
+        # metrics on the primary head, folded into the carried meters so an
+        # epoch needs zero extra dispatches/host syncs per step
         if "ctr" in probs:  # ESMM: CTR head's label is tasks[0]
             task = "ctr"
             y = batch["labels"][:, self.label_cols[self.model_cfg.tasks[0]]]
@@ -265,10 +275,19 @@ class Trainer:
             task = next(iter(self.label_cols))
             y = batch["labels"][:, self.label_cols[task]]
         valid = batch.get("_valid", jnp.ones_like(y))
-        auc_state = M.auc_state_update(auc_state, probs[task], y, valid)
+        auc_part = M.auc_state_update(
+            {"pos": meters["pos"], "neg": meters["neg"]}, probs[task], y, valid
+        )
         correct, count = M.binary_accuracy(probs[task], y, valid)
-        stats = {"loss": loss, "correct": correct, "count": count}
-        return new_state, auc_state, stats
+        new_meters = {
+            "pos": auc_part["pos"],
+            "neg": auc_part["neg"],
+            "loss": meters["loss"] + loss,
+            "correct": meters["correct"] + correct,
+            "count": meters["count"] + count,
+            "steps": meters["steps"] + 1.0,
+        }
+        return new_state, new_meters
 
     def _eval_step(self, state, batch):
         loss, (probs, _) = self.loss_fn(
@@ -283,8 +302,8 @@ class Trainer:
             fn = jax.jit(
                 self._train_step,
                 in_shardings=(self._state_shardings, None, self._batch_sharding),
-                out_shardings=(self._state_shardings, None, None),
-                donate_argnums=(0,),
+                out_shardings=(self._state_shardings, None),
+                donate_argnums=(0, 1),
             )
         elif name == "eval":
             fn = jax.jit(
@@ -308,26 +327,31 @@ class Trainer:
 
     def train_epoch(self, state, loader, epoch: int = 1):
         step_fn = self._get_compiled("train")
-        auc_state = M.auc_state_init()
-        loss_sum = 0.0
-        correct = 0.0
-        count = 0.0
+        # Metrics live inside the carried device meters: a per-step
+        # float(stats['loss']) would force a host sync every step (the
+        # reference's all_preds.extend(...cpu()...) pattern,
+        # deepfm.py:174-175, is exactly this sink). One read per epoch.
+        meters = self.meters_init()
         nsteps = 0
         t0 = time.time()
         for batch in loader:
             dev_batch = self._host_to_device(batch)
-            state, auc_state, stats = step_fn(state, auc_state, dev_batch)
-            loss_sum += float(stats["loss"])
-            correct += float(stats["correct"])
-            count += float(stats["count"])
+            state, meters = step_fn(state, meters, dev_batch)
             nsteps += 1
             if self.cfg.log_every and nsteps % self.cfg.log_every == 0:
-                eps = count / max(time.time() - t0, 1e-9)
+                eps = float(meters["count"]) / max(time.time() - t0, 1e-9)
                 print(
-                    f"epoch {epoch} step {nsteps}: loss={loss_sum/nsteps:.4f} "
+                    f"epoch {epoch} step {nsteps}: "
+                    f"loss={float(meters['loss'])/nsteps:.4f} "
                     f"examples/s={eps:,.0f}"
                 )
-        train_auc = float(M.auc_state_result(auc_state))
+        jax.block_until_ready(meters)
+        loss_sum = float(meters["loss"])
+        correct = float(meters["correct"])
+        count = float(meters["count"])
+        train_auc = float(
+            M.auc_state_result({"pos": meters["pos"], "neg": meters["neg"]})
+        )
         out = {
             "loss": loss_sum / max(nsteps, 1),
             "accuracy": correct / max(count, 1),

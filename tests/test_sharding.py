@@ -32,14 +32,10 @@ def _losses(table_par, steps=3, model="dcn"):
     state = trainer.init_state(next(iter(loader)))
     losses = []
     step_fn = trainer._get_compiled("train")
-    from rank_tpu.train import metrics as M
-
-    auc_state = M.auc_state_init()
     for batch in loader:
-        state, auc_state, stats = step_fn(
-            state, auc_state, trainer._host_to_device(batch)
-        )
-        losses.append(float(stats["loss"]))
+        meters = trainer.meters_init()
+        state, meters = step_fn(state, meters, trainer._host_to_device(batch))
+        losses.append(float(meters["loss"]))
     return losses, state, trainer
 
 
