@@ -327,6 +327,15 @@ class Trainer:
 
     def train_epoch(self, state, loader, epoch: int = 1):
         step_fn = self._get_compiled("train")
+        profiled = False
+        if self.cfg.profile_dir and epoch == 1:
+            # tracing/profiling subsystem (SURVEY.md section 5: the
+            # reference has only tqdm bars; this captures a real XLA trace)
+            try:
+                jax.profiler.start_trace(self.cfg.profile_dir)
+                profiled = True
+            except Exception as e:  # profiler may be unsupported here
+                print(f"profiler unavailable: {e}")
         # Metrics live inside the carried device meters: a per-step
         # float(stats['loss']) would force a host sync every step (the
         # reference's all_preds.extend(...cpu()...) pattern,
@@ -346,6 +355,9 @@ class Trainer:
                     f"examples/s={eps:,.0f}"
                 )
         jax.block_until_ready(meters)
+        if profiled:
+            jax.profiler.stop_trace()
+            print(f"profile trace written to {self.cfg.profile_dir}")
         loss_sum = float(meters["loss"])
         correct = float(meters["correct"])
         count = float(meters["count"])
