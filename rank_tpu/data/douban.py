@@ -1,0 +1,124 @@
+"""Douban movie-ratings ETL (reference's abandoned second dataset).
+
+The reference's ``dataset/douban_moviedata_10m/DataGenerator.py:21-141``
+is an incomplete work-in-progress that no model consumes: vocabulary
+generation skips every column except YEAR (:58-59), the window-feature
+step lists four features as comments (:115-118), and nothing writes the
+tfrecords the docstring promises. This module provides a *working*
+equivalent of the parts the reference does implement, with the same
+semantics where defined:
+
+  * load ratings.csv / movies.csv; month/day periods; YEAR==0 -> NaN
+    (:34-42);
+  * min-count-thresholded vocabulary files for the multi-value
+    categorical columns, with the reference's per-column separators and
+    min_counts (:50-55) — for ALL listed columns, not just YEAR;
+  * per-user 360-day rating history (last 20 movie ids, '/'-joined,
+    :103-114), vectorised per user instead of the reference's
+    O(N x user-history) iterrows loop;
+  * label: rating >= 4 is positive (docstring :5);
+  * train 2019-01..08 / test 2019-09 split (docstring :3-4).
+
+The four commented-out window statistics (:115-118) remain out of scope,
+matching the reference's own state.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import Counter
+from typing import Dict, List
+
+import numpy as np
+import pandas as pd
+
+CATEGORY_COLUMNS = [
+    "USER_MD5", "MOVIE_ID", "GENRES", "ACTOR_IDS", "DIRECTOR_IDS",
+    "LANGUAGES", "REGIONS", "YEAR",
+]
+SEPS = ["/", "/", "/", "|", "|", " / ", " / ", "/"]
+MIN_COUNTS = [5, 5, 20, 5, 5, 20, 20, 20]
+HISTORY_WINDOW_DAYS = 360
+HISTORY_MAX = 20
+
+
+class DoubanETL:
+    def __init__(self, dataset_dir: str = "./", out_path: str = "./"):
+        self.dataset_dir = dataset_dir
+        self.out_path = out_path
+        os.makedirs(out_path, exist_ok=True)
+
+    def run(self) -> None:
+        self._load()
+        self.generate_vocabulary()
+        self.generate_samples()
+
+    def _load(self) -> None:
+        self.ratings = pd.read_csv(os.path.join(self.dataset_dir, "ratings.csv"))
+        self.movies = pd.read_csv(os.path.join(self.dataset_dir, "movies.csv"))
+        self.ratings["RATING_TIME"] = pd.to_datetime(self.ratings["RATING_TIME"])
+        self.ratings["RATING_MONTH"] = self.ratings["RATING_TIME"].dt.to_period("M")
+        self.ratings["RATING_DAY"] = self.ratings["RATING_TIME"].dt.to_period("D")
+        self.movies["YEAR"] = self.movies["YEAR"].apply(
+            lambda x: np.nan if x == 0 or pd.isna(x) else str(int(x))
+        )
+
+    def _value_counts(self, series, sep: str) -> Counter:
+        c: Counter = Counter()
+        for s in series:
+            if pd.isna(s):
+                continue
+            c.update(str(s).split(sep))
+        return c
+
+    def generate_vocabulary(self) -> None:
+        data = self.ratings[self.ratings["RATING_MONTH"] >= "2019-01"]
+        data = data.merge(self.movies, how="left", on="MOVIE_ID")
+        scope = data[data["RATING_MONTH"] <= "2019-08"]
+        for col, sep, min_count in zip(CATEGORY_COLUMNS, SEPS, MIN_COUNTS):
+            vocab = self._value_counts(scope[col], sep)
+            with open(os.path.join(self.out_path, col + ".txt"), "w") as f:
+                for key, count in vocab.items():
+                    if count >= min_count:
+                        f.write(str(key) + "\n")
+
+    def generate_samples(self) -> None:
+        """Join, build per-user 360d histories, label, split, parquet."""
+        data = self.ratings[self.ratings["RATING_TIME"] >= "2018-01-01"].merge(
+            self.movies, how="left", on="MOVIE_ID"
+        )
+        data = data.sort_values(["USER_MD5", "RATING_TIME"])
+        data["MOVIE_ID"] = data["MOVIE_ID"].astype(str)
+        data["DIRECTOR_ID"] = data["DIRECTOR_IDS"].apply(
+            lambda s: str(s).split("|")[0] if pd.notna(s) else np.nan
+        )
+
+        histories: List[str] = []
+        window = pd.Timedelta(HISTORY_WINDOW_DAYS, unit="d")
+        for _, group in data.groupby("USER_MD5", sort=False):
+            times = group["RATING_TIME"].to_numpy()
+            movies = group["MOVIE_ID"].to_numpy()
+            lo = 0
+            for i in range(len(group)):
+                while times[lo] < times[i] - window:
+                    lo += 1
+                hist = movies[lo:i][-HISTORY_MAX:]
+                histories.append("/".join(hist) if len(hist) else "")
+        data["HISTORY_MOVIES"] = histories
+        data["label"] = (data["RATING"] >= 4).astype(np.float32)
+
+        in_scope = data[data["RATING_MONTH"] >= "2019-01"]
+        train = in_scope[in_scope["RATING_MONTH"] <= "2019-08"]
+        test = in_scope[in_scope["RATING_MONTH"] == "2019-09"]
+        train.to_parquet(os.path.join(self.out_path, "train.parquet"))
+        test.to_parquet(os.path.join(self.out_path, "test.parquet"))
+
+
+if __name__ == "__main__":
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--dataset_dir", default="./")
+    p.add_argument("--out_path", default="./")
+    a = p.parse_args()
+    DoubanETL(a.dataset_dir, a.out_path).run()

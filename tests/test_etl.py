@@ -135,3 +135,56 @@ def test_oov_encoding_dedicated_row(etl_dir):
     assert arrays["feedid"][0] == 1  # first vocab line -> row 1
     assert arrays["feedid"][1] == 0  # OOV -> dedicated row 0
     assert arrays["userid"][1] == 0
+
+
+class TestDouban:
+    @pytest.fixture(scope="class")
+    def douban_dir(self, tmp_path_factory):
+        d = tmp_path_factory.mktemp("douban")
+        rng = np.random.default_rng(0)
+        rows = []
+        users = [f"u{i}" for i in range(6)]
+        for u in users:
+            t = pd.Timestamp("2018-06-01")
+            for k in range(40):
+                t = t + pd.Timedelta(days=int(rng.integers(3, 20)))
+                rows.append(
+                    dict(USER_MD5=u, MOVIE_ID=int(rng.integers(1, 15)),
+                         RATING=float(rng.integers(1, 6)), RATING_TIME=t)
+                )
+        pd.DataFrame(rows).to_csv(d / "ratings.csv", index=False)
+        pd.DataFrame(
+            dict(
+                MOVIE_ID=list(range(1, 15)),
+                GENRES=["动作/喜剧"] * 14,
+                ACTOR_IDS=["a1|a2"] * 14,
+                DIRECTOR_IDS=["d1|d2"] * 14,
+                LANGUAGES=["汉语 / 英语"] * 14,
+                REGIONS=["中国 / 美国"] * 14,
+                YEAR=[2000 + i % 3 for i in range(14)],
+            )
+        ).to_csv(d / "movies.csv", index=False)
+        from rank_tpu.data.douban import DoubanETL
+
+        DoubanETL(str(d), str(d)).run()
+        return d
+
+    def test_vocab_files_all_columns(self, douban_dir):
+        from rank_tpu.data.douban import CATEGORY_COLUMNS
+
+        for col in CATEGORY_COLUMNS:
+            assert os.path.exists(douban_dir / f"{col}.txt"), col
+        genres = open(douban_dir / "GENRES.txt").read().split()
+        assert set(genres) <= {"动作", "喜剧"}
+
+    def test_split_and_label(self, douban_dir):
+        train = pd.read_parquet(douban_dir / "train.parquet")
+        assert (train["RATING_MONTH"].astype(str) <= "2019-08").all()
+        assert set(train["label"].unique()) <= {0.0, 1.0}
+        assert ((train["RATING"] >= 4) == (train["label"] == 1.0)).all()
+
+    def test_history_window(self, douban_dir):
+        train = pd.read_parquet(douban_dir / "train.parquet")
+        row = train.sort_values("RATING_TIME").iloc[-1]
+        hist = row["HISTORY_MOVIES"].split("/") if row["HISTORY_MOVIES"] else []
+        assert len(hist) <= 20
