@@ -1,0 +1,50 @@
+"""Serving path: checkpoint -> Predictor -> probabilities matching the
+trainer's eval predictions."""
+
+import numpy as np
+
+from rank_tpu.data.loader import ArrayLoader, split_train_test
+from rank_tpu.data.synthetic import make_synthetic_dataset
+from rank_tpu.features import tiny_schema
+from rank_tpu.models import default_config
+from rank_tpu.serve import Predictor
+from rank_tpu.train import CheckpointManager, TrainConfig, Trainer
+
+SCHEMA = tiny_schema(vocab=64, hist_len=6)
+DATA = make_synthetic_dataset(SCHEMA, num_rows=1024, seed=0)
+TRAIN, TEST = split_train_test(DATA, 0.25)
+
+
+def test_predictor_matches_eval(tmp_path):
+    cfg = default_config("dcn").replace(hidden_units=(16, 8), num_cross_layers=2)
+    trainer = Trainer(SCHEMA, cfg, TrainConfig(batch_size=128, log_every=0))
+    loader = ArrayLoader(TRAIN, 128, shuffle=True)
+    state = trainer.init_state(next(iter(loader)))
+    state, _ = trainer.train_epoch(state, loader, 1)
+    mgr = CheckpointManager(str(tmp_path))
+    mgr.save_best(state)
+
+    stats = trainer.evaluate(
+        state, ArrayLoader(TEST, 128, drop_remainder=False), 1
+    )
+    want = stats["predictions"]["read_comment"]
+    n_valid = int(stats["valid"].sum())
+
+    pred = Predictor(SCHEMA, cfg, model_dir=str(tmp_path), min_bucket=64)
+    got = pred({k: v for k, v in TEST.items() if k != "labels"})["score"]
+    np.testing.assert_allclose(got[:n_valid], want[:n_valid], rtol=1e-5, atol=1e-6)
+
+
+def test_predictor_odd_batch_sizes(tmp_path):
+    cfg = default_config("deepfm").replace(hidden_units=(8,), embedding_dim=4)
+    trainer = Trainer(SCHEMA, cfg, TrainConfig(batch_size=128, log_every=0))
+    loader = ArrayLoader(TRAIN, 128)
+    state = trainer.init_state(next(iter(loader)))
+    mgr = CheckpointManager(str(tmp_path))
+    mgr.save_best(state)
+    pred = Predictor(SCHEMA, cfg, model_dir=str(tmp_path), min_bucket=16)
+    for n in (1, 7, 16, 33):
+        req = {k: v[:n] for k, v in TEST.items() if k != "labels"}
+        out = pred(req)["score"]
+        assert out.shape == (n,)
+        assert np.all((out >= 0) & (out <= 1))
