@@ -29,7 +29,7 @@ import dataclasses
 import os
 import time
 from functools import partial
-from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+from typing import Any, Callable, Dict, Optional
 
 import flax.linen as nn
 import jax
@@ -58,7 +58,6 @@ class TrainConfig:
     label: str = "read_comment"
     table_parallelism: int = 1
     log_every: int = 100
-    compute_dtype: str = "float32"  # float32 | bfloat16
     profile_dir: Optional[str] = None  # jax.profiler trace output
     # tables smaller than this stay replicated even on a table-sharded mesh
     min_rows_to_shard: int = 1024

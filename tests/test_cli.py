@@ -1,0 +1,78 @@
+"""CLI argument -> config mapping and end-to-end CLI run on the CPU mesh."""
+
+import os
+
+import pytest
+
+from rank_tpu.cli import build_parser, main, model_config_from_args
+
+
+def _args(argv):
+    return build_parser().parse_args(argv)
+
+
+def test_reference_flag_names_map():
+    a = _args(
+        [
+            "--model=din", "--hidden_units=128,64", "--activation=prelu",
+            "--use_softmax=false", "--l2_lambda=0.1",
+            "--mini_batch_aware_regularization=true", "--dropout_rate=0.2",
+            "--batch_norm=false",
+        ]
+    )
+    cfg = model_config_from_args(a)
+    assert cfg.hidden_units == (128, 64)
+    assert cfg.activation == "prelu"
+    assert cfg.use_softmax is False
+    assert cfg.l2_lambda == 0.1
+    assert cfg.mini_batch_aware_regularization is True
+    assert cfg.dropout_rate == 0.2
+    assert cfg.batch_norm is False
+
+
+def test_model_specific_aliases():
+    cfg = model_config_from_args(_args(["--model=dcn", "--num_cross_layer=5"]))
+    assert cfg.num_cross_layers == 5
+    cfg = model_config_from_args(
+        _args(["--model=deepcrossing", "--residual_network_num=4",
+               "--residual_internal_dim=64"])
+    )
+    assert cfg.num_residual_units == 4
+    assert cfg.residual_internal_dim == 64
+    cfg = model_config_from_args(
+        _args(["--model=bst", "--nhead=4", "--num_transformer_blocks=3",
+               "--pooling_method=sum"])
+    )
+    assert cfg.num_heads == 4
+    assert cfg.num_transformer_blocks == 3
+    assert cfg.pooling_method == "sum"
+    cfg = model_config_from_args(_args(["--model=mmoe", "--tasks=read_comment,like"]))
+    assert cfg.tasks == ("read_comment", "like")
+
+
+def test_unknown_model_exits():
+    with pytest.raises(SystemExit):
+        model_config_from_args(_args(["--model=nope"]))
+
+
+def test_defaults_follow_result_md_best():
+    """Per-model defaults = each reference result.md best row (BASELINE.md)."""
+    assert model_config_from_args(_args(["--model=dcn"])).num_cross_layers == 3
+    assert model_config_from_args(_args(["--model=afm"])).embedding_dim == 32
+    assert model_config_from_args(_args(["--model=bst"])).pooling_method == "mean"
+    din = model_config_from_args(_args(["--model=din"]))
+    assert din.activation == "dice" and din.use_softmax is True
+    assert not din.mini_batch_aware_regularization
+
+
+def test_cli_end_to_end_synthetic(tmp_path):
+    rc = main(
+        [
+            "--model=fwfm", "--synthetic=4096", "--num_epochs=1",
+            "--batch_size=512", f"--model_dir={tmp_path}/m",
+            f"--output_dir={tmp_path}/o", "--device_resident=true",
+        ]
+    )
+    assert rc == 0
+    assert os.path.exists(tmp_path / "o" / "predictions.csv")
+    assert os.path.exists(tmp_path / "m" / "best_model")
