@@ -1,0 +1,81 @@
+"""Hyperparameter-sweep runner reproducing the reference result.md tables.
+
+Each reference model dir carries a sweep table (e.g.
+algorithm/DCN/result.md: 10 rows over hidden_units x num_cross_layer;
+algorithm/BST/result.md: 16 rows over blocks x heads x pooling). This
+script replays those grids through the unified CLI so the AUC tables can
+be reproduced on the real dataset once the competition CSVs are present
+(they are not distributed with the reference snapshot,
+dataset/README.md:6).
+
+Usage:
+  python scripts/sweeps.py --model dcn --train_data ... --eval_data ... \
+      --vocabulary_dir ...           # real data
+  python scripts/sweeps.py --model dcn --synthetic 100000   # smoke
+"""
+
+import argparse
+import itertools
+import json
+import subprocess
+import sys
+
+# grids transcribed from each algorithm/<M>/result.md sweep table
+SWEEPS = {
+    "dcn": {
+        "hidden_units": ["512,256,128", "256,128,64"],
+        "num_cross_layer": [1, 2, 3, 4, 5],
+    },
+    "deepcrossing": {
+        "residual_internal_dim": [64, 128, 256, 512],
+        "residual_network_num": [1, 2],
+    },
+    "din": {
+        "activation": ["dice", "prelu"],
+        "use_softmax": ["true", "false"],
+        "mini_batch_aware_regularization": ["true", "false"],
+    },
+    "bst": {
+        "num_transformer_blocks": [1, 2],
+        "nhead": [1, 2, 4, 8],
+        "pooling_method": ["sum", "mean"],
+    },
+    "afm": {
+        "embedding_dim": [8, 16, 32],
+        "attention_factor": [16, 32, 64],
+    },
+    "deepfm": {"embedding_dim": [8, 16], "num_epochs": [1, 2]},
+    "fwfm": {"embedding_dim": [8, 16, 32]},
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", required=True, choices=sorted(SWEEPS))
+    ap.add_argument("--out", default="sweep_results.json")
+    args, passthrough = ap.parse_known_args()
+
+    grid = SWEEPS[args.model]
+    keys = sorted(grid)
+    results = []
+    for values in itertools.product(*(grid[k] for k in keys)):
+        overrides = dict(zip(keys, values))
+        cmd = [sys.executable, "-m", "rank_tpu.cli", f"--model={args.model}"]
+        cmd += [f"--{k}={v}" for k, v in overrides.items()]
+        cmd += passthrough
+        print("+", " ".join(cmd), flush=True)
+        proc = subprocess.run(cmd, capture_output=True, text=True)
+        auc = None
+        for line in proc.stdout.splitlines():
+            if "Eval AUC:" in line:
+                auc = float(line.rsplit("Eval AUC:", 1)[1].split(",")[0])
+        results.append({"overrides": overrides, "eval_auc": auc,
+                        "returncode": proc.returncode})
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=2)
+        print(f"  -> AUC {auc}", flush=True)
+    print(json.dumps(results, indent=2))
+
+
+if __name__ == "__main__":
+    main()
