@@ -62,21 +62,36 @@ def main():
     ap.add_argument("--per_device_batch", type=int, default=512)
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--model", type=str, default="dcn")
-    ap.add_argument("--cpu", action="store_true", default=None)
+    ap.add_argument(
+        "--real", action="store_true",
+        help="use the real accelerator platform (default: virtual CPU mesh "
+        "— one real chip can't scale, and CPU 'devices' share cores so the "
+        "CPU numbers validate mechanics only)",
+    )
     args = ap.parse_args()
 
     import os
 
-    import jax
+    if not args.real:
+        # must happen BEFORE the jax backend initializes
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={args.devices}"
+            ).strip()
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        import jax
 
     if len(jax.devices()) < args.devices:
         print(
-            f"# only {len(jax.devices())} devices visible; for the virtual "
-            "mesh run with XLA_FLAGS=--xla_force_host_platform_device_count=N"
-            " and JAX_PLATFORMS=cpu (or let this script force CPU)",
+            f"# only {len(jax.devices())} devices visible; cannot build a "
+            f"{args.devices}-device mesh",
             file=sys.stderr,
         )
-        jax.config.update("jax_platforms", "cpu")
+        sys.exit(2)
 
     sizes = []
     n = 1

@@ -143,6 +143,22 @@ def main(argv=None) -> int:
                 file=sys.stderr,
             )
             return 2
+        # fail loudly on a wrong vocabulary dir: load_vocabulary returns []
+        # for missing files, which would silently train on 100% OOV ids
+        missing = [
+            f.vocab_file
+            for f in WECHAT_SCHEMA.categorical
+            if not os.path.exists(
+                os.path.join(args.vocabulary_dir, f.vocab_file)
+            )
+        ]
+        if missing:
+            print(
+                f"vocabulary files missing in {args.vocabulary_dir!r}: "
+                f"{missing} — wrong --vocabulary_dir?",
+                file=sys.stderr,
+            )
+            return 2
         schema = schema_from_vocab_dir(WECHAT_SCHEMA, args.vocabulary_dir)
         train_data = _load_split(args.train_data, schema, args.vocabulary_dir)
         eval_data = _load_split(args.eval_data, schema, args.vocabulary_dir)
@@ -151,6 +167,9 @@ def main(argv=None) -> int:
 
     train_data = shard_for_process(
         train_data, jax.process_index(), jax.process_count()
+    )
+    eval_data = shard_for_process(
+        eval_data, jax.process_index(), jax.process_count()
     )
 
     model_cfg = model_config_from_args(args)

@@ -94,7 +94,7 @@ class DoubanETL:
         )
 
         histories: List[str] = []
-        window = pd.Timedelta(HISTORY_WINDOW_DAYS, unit="d")
+        window = pd.Timedelta(HISTORY_WINDOW_DAYS, unit="D")
         for _, group in data.groupby("USER_MD5", sort=False):
             times = group["RATING_TIME"].to_numpy()
             movies = group["MOVIE_ID"].to_numpy()

@@ -23,7 +23,7 @@ path lives in ``rank_tpu.embedding.sharded``.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence
+from typing import Dict
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -86,41 +86,7 @@ class EmbeddingCollection(nn.Module):
         return self.lookup(name, ids)
 
 
-class LinearEmbeddingCollection(nn.Module):
-    """Dim-1 'first order' tables (FM/FwFM linear terms; deepfm.py:90-93)."""
-
-    schema: FeatureSchema
-    fields: Sequence[str]
-
-    @nn.compact
-    def __call__(self, batch: Dict[str, jnp.ndarray]) -> jnp.ndarray:
-        """Returns stacked first-order weights (B, F)."""
-        outs = []
-        for name in self.fields:
-            f = self.schema.categorical_feature(name)
-            table = nn.Embed(
-                f.vocab_size,
-                1,
-                embedding_init=nn.with_partitioning(
-                    nn.initializers.zeros, ("table", None)
-                ),
-                name=f"linear_{name}",
-            )
-            outs.append(table(batch[name])[..., 0])
-        return jnp.stack(outs, axis=-1)
-
-
-def stack_to_common_dim(
-    embs: Sequence[jnp.ndarray], dim: Optional[int] = None
-) -> jnp.ndarray:
-    """Stack per-field (B, D_f) embeddings into (B, F, D), zero-padding
-    fields whose dim is below the max (used by field-interaction models over
-    the heterogeneous per-field dims of the WeChat schema)."""
-    if dim is None:
-        dim = max(e.shape[-1] for e in embs)
-    padded = [
-        e if e.shape[-1] == dim
-        else jnp.pad(e, [(0, 0)] * (e.ndim - 1) + [(0, dim - e.shape[-1])])
-        for e in embs
-    ]
-    return jnp.stack(padded, axis=-2)
+# NOTE: FM-family models create their own uniform-dim (and dim-1 linear)
+# tables via RankModel.uniform_tables (models/base.py); field-interaction
+# models stack those uniform embeddings directly, so no pad-to-common-dim
+# helper is needed here.

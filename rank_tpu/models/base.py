@@ -87,7 +87,9 @@ class ModelConfig:
     multihot_tags: bool = True
     # sequence feature used by DIN/BST/DIEN
     seq_feature: str = "his_read_comment_7d_seq"
-    # Pallas kernel dispatch: 'auto' (TPU->pallas, CPU->jnp), 'jnp', 'pallas'
+    # Pallas kernel dispatch: 'auto' currently resolves to 'jnp' (XLA's
+    # fused path wins at the WeChat dims, see ops/pallas/din_attention.py);
+    # pass 'pallas' explicitly for large-D configs.
     kernel_backend: str = "auto"
 
     def replace(self, **kw) -> "ModelConfig":
@@ -129,7 +131,9 @@ class RankModel(nn.Module):
                 lengths = batch["manual_tag_seq_length"]
                 emb = collection.lookup("manual_tag_seq", seq)  # (B, T, D)
                 mask = (seq > 0)[..., None].astype(emb.dtype)
-                denom = jnp.maximum(lengths[:, None].astype(emb.dtype), 1.0)
+                # mean over non-OOV tags: denominator counts the same tags
+                # the numerator keeps (an OOV tag id 0 contributes nothing)
+                denom = jnp.maximum(jnp.sum(mask, axis=1), 1.0)
                 outs.append(jnp.sum(emb * mask, axis=1) / denom)
             else:
                 outs.append(collection.lookup(name, batch[name]))

@@ -12,7 +12,6 @@ from .fm import (
     ffm_interaction,
     fm_first_order,
     fm_second_order,
-    fm_second_order_vector,
     fwfm_interaction,
     pair_indices,
     pairwise_dot,
@@ -29,7 +28,7 @@ __all__ = [
     "BilinearAttention", "DINAttention", "length_mask", "masked_softmax",
     "CIN", "CrossNetwork", "ResidualStack", "ResidualUnit",
     "ffm_interaction", "fm_first_order", "fm_second_order",
-    "fm_second_order_vector", "fwfm_interaction", "pair_indices",
+    "fwfm_interaction", "pair_indices",
     "pairwise_dot", "pairwise_hadamard",
     "MLPTower", "InnerProductLayer", "OuterProductLayer",
     "AttentionalGRU", "BilinearInteraction", "SENETLayer",

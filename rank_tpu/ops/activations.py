@@ -46,9 +46,11 @@ class Dice(nn.Module):
 
 
 class PReLU(nn.Module):
-    """Parametric ReLU with one learned alpha per channel (torch nn.PReLU
-    default is a single shared alpha=0.25; we follow per-channel which is
-    the DIN paper's form; ``din.py:279`` uses nn.PReLU())."""
+    """Parametric ReLU with a learned alpha.
+
+    Default matches torch ``nn.PReLU()`` as used by the reference
+    (``din.py:279``): a single shared alpha initialised to 0.25. Set
+    ``per_channel=True`` for the DIN paper's per-channel form."""
 
     init: float = 0.25
     per_channel: bool = False

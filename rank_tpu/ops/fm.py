@@ -7,9 +7,8 @@ Parity targets:
   * FFM             — README.md:19 (Juan et al. 2016), no reference code;
     field-aware embeddings v_{i,f_j}, pair term <v_{i,f_j}, v_{j,f_i}>.
 
-All ops take a stacked field-embedding tensor ``(B, F, D)`` — fields are
-padded to a common dim by the embedding collection when needed — and are
-batched-vectorised (no Python loops over pairs at runtime; pair indices are
+All ops take a stacked field-embedding tensor ``(B, F, D)`` (FM-family
+models embed every field at one shared dim) and are batched-vectorised (no Python loops over pairs at runtime; pair indices are
 static numpy, so XLA sees fixed gathers feeding one fused contraction).
 """
 
@@ -44,13 +43,6 @@ def fm_second_order(emb: jnp.ndarray, keepdims: bool = True) -> jnp.ndarray:
     sq_sum = jnp.sum(jnp.square(emb), axis=1)  # (B, D)
     out = 0.5 * jnp.sum(sum_sq - sq_sum, axis=-1, keepdims=keepdims)
     return out
-
-
-def fm_second_order_vector(emb: jnp.ndarray) -> jnp.ndarray:
-    """FM second order pooled to a (B, D) vector (NFM-style bi-interaction)."""
-    sum_emb = jnp.sum(emb, axis=1)
-    sq_sum = jnp.sum(jnp.square(emb), axis=1)
-    return 0.5 * (jnp.square(sum_emb) - sq_sum)
 
 
 def pairwise_hadamard(emb: jnp.ndarray) -> jnp.ndarray:

@@ -22,7 +22,7 @@ from typing import Optional
 
 import jax
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 DATA_AXIS = "data"
 TABLE_AXIS = "table"
@@ -44,16 +44,3 @@ def make_mesh(
     return Mesh(arr, (DATA_AXIS, TABLE_AXIS))
 
 
-def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Batches are sharded along the leading (batch) dim over 'data'."""
-    return NamedSharding(mesh, P(DATA_AXIS))
-
-
-def replicated(mesh: Mesh) -> NamedSharding:
-    return NamedSharding(mesh, P())
-
-
-def logical_rules(shard_tables: bool):
-    """flax logical-axis -> mesh-axis rules for nn.with_partitioning
-    annotations. 'table' is the vocab axis of embedding tables."""
-    return (("table", TABLE_AXIS if shard_tables else None),)

@@ -312,6 +312,20 @@ class Trainer:
         self._compiled[name] = fn
         return self._compiled[name]
 
+    def _host_all(self, x, tiled: bool = True) -> np.ndarray:
+        """Bring an array to host as the full GLOBAL value.
+
+        Single-process: plain device_get. Multi-host: process_allgather —
+        works both for globally-sharded jax.Arrays (eval probs) and for
+        process-local numpy arrays (labels/valid), concatenating the
+        latter in process order, which matches the device order of the
+        P('data') batch sharding (jax.devices() is process-major)."""
+        if jax.process_count() == 1:
+            return np.asarray(x)
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=tiled))
+
     def _host_to_device(self, batch: Dict[str, np.ndarray]):
         if jax.process_count() > 1:
             return {
@@ -387,9 +401,9 @@ class Trainer:
             loss_sum += float(loss)
             nsteps += 1
             for k, v in probs.items():
-                probs_acc.setdefault(k, []).append(np.asarray(v))
-            labels_acc.append(batch["labels"])
-            valid_acc.append(batch["_valid"])
+                probs_acc.setdefault(k, []).append(self._host_all(v))
+            labels_acc.append(self._host_all(batch["labels"]))
+            valid_acc.append(self._host_all(batch["_valid"]))
         labels = np.concatenate(labels_acc)
         valid = np.concatenate(valid_acc)
         task_aucs = {}

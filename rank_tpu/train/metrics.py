@@ -26,7 +26,6 @@ def exact_auc(
     scores: (N,) predicted scores; labels: (N,) in {0,1};
     valid: optional (N,) 0/1 mask for padded rows.
     """
-    scores = scores.astype(jnp.float64) if scores.dtype == jnp.float64 else scores
     n = scores.shape[0]
     if valid is None:
         valid = jnp.ones((n,), jnp.float32)
@@ -98,10 +97,6 @@ def auc_state_update(
         "pos": state["pos"].at[b].add(pos_w),
         "neg": state["neg"].at[b].add(neg_w),
     }
-
-
-def auc_state_merge(a, b):
-    return {"pos": a["pos"] + b["pos"], "neg": a["neg"] + b["neg"]}
 
 
 def auc_state_result(state: Dict[str, jnp.ndarray]) -> jnp.ndarray:

@@ -55,7 +55,7 @@ def main():
             results[name] = {
                 "eval_auc": round(ev["auc"], 5),
                 "task_aucs": {k: round(v, 5) for k, v in ev["task_aucs"].items()},
-                "train_examples_per_s_last": round(max(eps), 1),
+                "train_examples_per_s_best": round(max(eps), 1),
                 "wall_s": round(time.time() - t0, 1),
             }
         except Exception as e:
