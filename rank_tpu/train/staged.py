@@ -53,11 +53,26 @@ def stage(trainer, data: Dict[str, np.ndarray], batch_size: int):
 
 
 class StagedRunner:
-    """Drives device-resident train/eval for one Trainer + dataset pair."""
+    """Drives device-resident train/eval for one Trainer + dataset pair.
 
-    def __init__(self, trainer, train_data, eval_data, batch_size: int):
+    ``steps_per_dispatch`` unrolls several train steps into one jitted
+    program (a python loop inside jit, NOT lax.scan — within a single
+    program XLA aliases the state updates in place, avoiding the
+    while-loop carry copies documented above) to amortise the dispatch
+    round-trip through the tunnel.
+    """
+
+    def __init__(
+        self,
+        trainer,
+        train_data,
+        eval_data,
+        batch_size: int,
+        steps_per_dispatch: int = 8,
+    ):
         self.trainer = trainer
         self.batch_size = batch_size
+        self.steps_per_dispatch = max(1, steps_per_dispatch)
         self.train_staged, self.train_steps = stage(trainer, train_data, batch_size)
         self.eval_staged, self.eval_steps = stage(trainer, eval_data, batch_size)
         self._fns_built = False
@@ -76,17 +91,31 @@ class StagedRunner:
         tr = self.trainer
         bs = self.batch_size
 
-        def train_step(state, meters, data, perm, i):
-            idx = jax.lax.dynamic_slice_in_dim(perm, i * bs, bs)
-            batch = {k: jnp.take(v, idx, axis=0) for k, v in data.items()}
-            return tr._train_step(state, meters, batch)
+        spd = min(self.steps_per_dispatch, self.train_steps)
+        self.steps_per_dispatch = spd
 
-        self._train_step = jax.jit(
-            train_step,
-            donate_argnums=(0, 1),
-            in_shardings=(tr._state_shardings, None, None, None, None),
-            out_shardings=(tr._state_shardings, None),
-        )
+        def make_train_fn(n_unrolled):
+            def train_steps(state, meters, data, perm, i0):
+                # unrolled python loop: one program, n sequential steps
+                for k in range(n_unrolled):
+                    idx = jax.lax.dynamic_slice_in_dim(perm, (i0 + k) * bs, bs)
+                    batch = {
+                        kk: jnp.take(v, idx, axis=0) for kk, v in data.items()
+                    }
+                    state, meters = tr._train_step(state, meters, batch)
+                return state, meters
+
+            return jax.jit(
+                train_steps,
+                donate_argnums=(0, 1),
+                in_shardings=(tr._state_shardings, None, None, None, None),
+                out_shardings=(tr._state_shardings, None),
+            )
+
+        self._train_step = make_train_fn(spd)
+        rem = self.train_steps % spd
+        self._train_step_rem = make_train_fn(rem) if rem else None
+        self._rem_steps = rem
 
         def eval_step(state, data, i):
             idx = i * bs + jnp.arange(bs)
@@ -110,10 +139,16 @@ class StagedRunner:
         self._build()
         perm = self._perm_fn(seed + epoch)
         meters = self.trainer.meters_init()
+        spd = self.steps_per_dispatch
+        full_dispatches = self.train_steps // spd
         t0 = time.time()
-        for i in range(self.train_steps):
+        for d in range(full_dispatches):
             state, meters = self._train_step(
-                state, meters, self.train_staged, perm, i
+                state, meters, self.train_staged, perm, d * spd
+            )
+        if self._train_step_rem is not None:
+            state, meters = self._train_step_rem(
+                state, meters, self.train_staged, perm, full_dispatches * spd
             )
         jax.block_until_ready(meters)
         dt = time.time() - t0
