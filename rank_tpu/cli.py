@@ -215,15 +215,31 @@ def main(argv=None) -> int:
         loader = ArrayLoader(eval_data, per_host_bs, drop_remainder=False)
         return trainer.evaluate(state, loader, epoch)
 
+    import json
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    history_path = os.path.join(args.output_dir, "metrics_history.jsonl")
+
     for epoch in range(start_epoch, args.num_epochs + 1):
         if runner is not None:
-            state, _ = runner.train_epoch(state, epoch, train_cfg.seed)
+            state, train_stats = runner.train_epoch(state, epoch, train_cfg.seed)
         else:
             loader = ArrayLoader(
                 train_data, per_host_bs, shuffle=True, seed=train_cfg.seed + epoch
             )
-            state, _ = trainer.train_epoch(state, loader, epoch)
+            state, train_stats = trainer.train_epoch(state, loader, epoch)
         stats = run_eval(epoch)
+        if jax.process_index() == 0:
+            with open(history_path, "a") as f:
+                f.write(json.dumps({
+                    "epoch": epoch,
+                    "train_loss": train_stats["loss"],
+                    "train_auc": train_stats["auc"],
+                    "train_examples_per_s": train_stats.get("examples_per_s"),
+                    "eval_loss": stats["loss"],
+                    "eval_auc": stats["auc"],
+                    "eval_task_aucs": stats.get("task_aucs"),
+                }) + "\n")
         if stats["auc"] > best_auc:
             best_auc = stats["auc"]
             mgr.save_best(state)

@@ -1,0 +1,111 @@
+"""Quality parity check: rank_tpu DCN vs a PyTorch DCN trained on the
+SAME synthetic dataset with the same hyperparameters.
+
+The real competition CSVs are not distributed, so reference-AUC parity
+cannot be measured directly this round; this script verifies the next
+best thing — that our TPU training pipeline reaches the same quality as a
+faithful PyTorch implementation of the reference architecture given
+identical data, arch, optimizer (Adam lr 0.005), batch size and epochs.
+
+Usage: python scripts/parity_check.py [--rows 200000] [--epochs 3]
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")  # bench.py lives at the repo root
+
+
+def train_ours(train_d, eval_d, epochs, batch):
+    from rank_tpu.features import WECHAT_SCHEMA
+    from rank_tpu.models import default_config
+    from rank_tpu.train import TrainConfig, Trainer
+    from rank_tpu.train.staged import StagedRunner
+
+    trainer = Trainer(
+        WECHAT_SCHEMA, default_config("dcn"),
+        TrainConfig(batch_size=batch, log_every=0),
+    )
+    runner = StagedRunner(trainer, train_d, eval_d, batch)
+    state = runner.init_state()
+    for e in range(1, epochs + 1):
+        state, _ = runner.train_epoch(state, e)
+    return runner.evaluate(state, epochs)["auc"]
+
+
+def train_torch(train_d, eval_d, epochs, batch):
+    import torch
+    from sklearn.metrics import roc_auc_score
+
+    from bench import EMB_DIMS, _torch_models
+
+    torch.manual_seed(42)
+    TorchDCN, _ = _torch_models()
+    model = TorchDCN()
+    opt = torch.optim.Adam(model.parameters(), lr=0.005)
+    crit = torch.nn.BCEWithLogitsLoss()
+
+    def to_t(d, idx):
+        dense = torch.tensor(d["dense"][idx])
+        cats = {
+            k: torch.tensor(d[k][idx], dtype=torch.long) for k in EMB_DIMS
+        }
+        y = torch.tensor(d["labels"][idx, 0])
+        return dense, cats, y
+
+    n = d_rows = train_d["labels"].shape[0]
+    rng = np.random.default_rng(0)
+    model.train()
+    for e in range(epochs):
+        order = rng.permutation(n)
+        for i in range(0, n - batch + 1, batch):
+            dense, cats, y = to_t(train_d, order[i : i + batch])
+            opt.zero_grad()
+            loss = crit(model(dense, cats), y)
+            loss.backward()
+            opt.step()
+        print(f"torch epoch {e+1} done", flush=True)
+    model.eval()
+    preds, ys = [], []
+    ne = eval_d["labels"].shape[0]
+    with torch.no_grad():
+        for i in range(0, ne, batch):
+            idx = np.arange(i, min(i + batch, ne))
+            dense, cats, y = to_t(eval_d, idx)
+            preds.append(torch.sigmoid(model(dense, cats)).numpy())
+            ys.append(y.numpy())
+    return roc_auc_score(np.concatenate(ys), np.concatenate(preds))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=200_000)
+    ap.add_argument("--epochs", type=int, default=3)
+    ap.add_argument("--batch", type=int, default=1024)
+    args = ap.parse_args()
+
+    from rank_tpu.data.loader import split_train_test
+    from rank_tpu.data.synthetic import make_synthetic_dataset
+    from rank_tpu.features import WECHAT_SCHEMA
+
+    data = make_synthetic_dataset(WECHAT_SCHEMA, num_rows=args.rows, seed=0)
+    train_d, eval_d = split_train_test(data, 0.15)
+
+    t0 = time.time()
+    ours = train_ours(train_d, eval_d, args.epochs, args.batch)
+    t_ours = time.time() - t0
+    t0 = time.time()
+    torch_auc = train_torch(train_d, eval_d, args.epochs, args.batch)
+    t_torch = time.time() - t0
+    print(
+        f"\nDCN eval AUC — rank_tpu (TPU): {ours:.5f} in {t_ours:.0f}s | "
+        f"torch (CPU): {torch_auc:.5f} in {t_torch:.0f}s | "
+        f"delta {ours - torch_auc:+.5f}"
+    )
+
+
+if __name__ == "__main__":
+    main()
