@@ -61,6 +61,9 @@ class TrainConfig:
     profile_dir: Optional[str] = None  # jax.profiler trace output
     # tables smaller than this stay replicated even on a table-sharded mesh
     min_rows_to_shard: int = 1024
+    # MXU matmul passes: None -> XLA default; 'bfloat16' trades ~1e-3
+    # relative precision for throughput on matmul-heavy models (BST)
+    matmul_precision: Optional[str] = None
 
 
 def _labels_for(model_cfg: ModelConfig, train_cfg: TrainConfig, schema: FeatureSchema):
@@ -246,6 +249,12 @@ class Trainer:
         return m
 
     def _train_step(self, state, meters, batch):
+        if self.cfg.matmul_precision:
+            with jax.default_matmul_precision(self.cfg.matmul_precision):
+                return self._train_step_inner(state, meters, batch)
+        return self._train_step_inner(state, meters, batch)
+
+    def _train_step_inner(self, state, meters, batch):
         rng, new_rng = jax.random.split(state["rng"])
         grad_fn = jax.value_and_grad(self.loss_fn, has_aux=True)
         (loss, (probs, mutated)), grads = grad_fn(
