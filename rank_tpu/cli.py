@@ -72,6 +72,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--table_parallelism", type=int, default=1)
     p.add_argument("--label", type=str, default="read_comment")
     p.add_argument("--profile_dir", type=str, default=None)
+    p.add_argument("--gradient_clip_norm", type=float, default=0.0)
     p.add_argument("--multihot_tags", type=_str2bool, default=None)
     p.add_argument(
         "--device_resident", type=_str2bool, default=True,
@@ -183,6 +184,7 @@ def main(argv=None) -> int:
         label=args.label,
         table_parallelism=args.table_parallelism,
         profile_dir=args.profile_dir,
+        gradient_clip_norm=args.gradient_clip_norm,
     )
     trainer = Trainer(schema, model_cfg, train_cfg)
     per_host_bs = max(

@@ -64,6 +64,8 @@ class TrainConfig:
     # MXU matmul passes: None -> XLA default; 'bfloat16' trades ~1e-3
     # relative precision for throughput on matmul-heavy models (BST)
     matmul_precision: Optional[str] = None
+    # global-norm gradient clipping; 0 disables (reference trains unclipped)
+    gradient_clip_norm: float = 0.0
 
 
 def _labels_for(model_cfg: ModelConfig, train_cfg: TrainConfig, schema: FeatureSchema):
@@ -144,9 +146,13 @@ class Trainer:
         self.model = build_model(schema, model_cfg)
         self.label_cols = _labels_for(model_cfg, train_cfg, schema)
         self.loss_fn = make_loss_fn(self.model, model_cfg, self.label_cols)
-        self.tx = optax.adam(
-            train_cfg.learning_rate, b1=0.9, b2=0.999, eps=1e-8
-        )
+        adam = optax.adam(train_cfg.learning_rate, b1=0.9, b2=0.999, eps=1e-8)
+        if train_cfg.gradient_clip_norm > 0:
+            self.tx = optax.chain(
+                optax.clip_by_global_norm(train_cfg.gradient_clip_norm), adam
+            )
+        else:
+            self.tx = adam
         self._compiled = {}
         self._batch_sharding = NamedSharding(self.mesh, P(DATA_AXIS))
         self._repl = NamedSharding(self.mesh, P())
@@ -392,6 +398,12 @@ class Trainer:
             "auc": train_auc,
             "examples_per_s": count / max(time.time() - t0, 1e-9),
         }
+        if not np.isfinite(out["loss"]):
+            raise FloatingPointError(
+                f"non-finite training loss at epoch {epoch} "
+                f"(loss={out['loss']}); the last good checkpoint can be "
+                "resumed with --resume=true; consider --gradient_clip_norm"
+            )
         print(
             f"Epoch {epoch}, Train Loss: {out['loss']:.4f}, "
             f"Train Accuracy: {out['accuracy']:.4f}, Train AUC: {out['auc']:.4f}"
