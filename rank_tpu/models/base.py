@@ -75,6 +75,7 @@ class ModelConfig:
     gru_hidden_dim: int = 16
     use_aux_loss: bool = False
     aux_loss_weight: float = 1.0
+    gru_unroll: int = 5  # scan unroll for the two GRU passes (T=50)
     # multi-task (ESMM/MMOE/PLE)
     tasks: Tuple[str, ...] = ("read_comment", "like", "click_avatar")
     num_experts: int = 4

@@ -131,7 +131,8 @@ class DIEN(RankModel):
 
         # interest extraction: plain GRU over the history
         gru_outs, _ = ops.AttentionalGRU(
-            cfg.gru_hidden_dim, mode="gru", name="interest_extractor"
+            cfg.gru_hidden_dim, mode="gru", unroll=cfg.gru_unroll,
+            name="interest_extractor",
         )(seq_emb, lengths)
 
         # interest evolution: attention scores vs target feed the AUGRU
@@ -139,7 +140,8 @@ class DIEN(RankModel):
             target_emb, gru_outs, lengths
         )  # (B, T)
         _, final_state = ops.AttentionalGRU(
-            cfg.gru_hidden_dim, mode="augru", name="interest_evolution"
+            cfg.gru_hidden_dim, mode="augru", unroll=cfg.gru_unroll,
+            name="interest_evolution",
         )(gru_outs, lengths, att_weights)
 
         x = jnp.concatenate(

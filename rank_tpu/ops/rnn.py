@@ -39,6 +39,9 @@ class AttentionalGRU(nn.Module):
 
     hidden_dim: int
     mode: str = "gru"
+    # lax.scan unroll factor: trades compile time/code size for fewer
+    # sequential loop iterations (T=50 is latency-bound on TPU)
+    unroll: int = 1
 
     @nn.compact
     def __call__(
@@ -89,5 +92,5 @@ class AttentionalGRU(nn.Module):
             jnp.moveaxis(att_scores, 1, 0),  # (T, B)
             jnp.moveaxis(valid, 1, 0),       # (T, B)
         )
-        final, outs = jax.lax.scan(step, h0, xs)
+        final, outs = jax.lax.scan(step, h0, xs, unroll=self.unroll)
         return jnp.moveaxis(outs, 0, 1), final
