@@ -27,6 +27,10 @@ def test_two_process_train_eval():
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)
     env.pop("PALLAS_AXON_POOL_IPS", None)  # skip axon registration races
+    # the worker script lives in tests/, so Python puts tests/ (not the repo
+    # root) on sys.path — make rank_tpu importable regardless of install state
+    repo_root = str(WORKER.parent.parent)
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(
             [sys.executable, str(WORKER), str(i), "2", str(port)],
