@@ -188,3 +188,26 @@ class TestDouban:
         row = train.sort_values("RATING_TIME").iloc[-1]
         hist = row["HISTORY_MOVIES"].split("/") if row["HISTORY_MOVIES"] else []
         assert len(hist) <= 20
+
+
+def test_eda_report(etl_dir):
+    """scripts/eda.py parity report runs on real-schema CSVs (EDA.ipynb
+    equivalent, SURVEY.md §2.1)."""
+    import importlib.util
+    import pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "eda", pathlib.Path(__file__).parent.parent / "scripts" / "eda.py"
+    )
+    eda = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(eda)
+    ua = pd.read_csv(etl_dir / "user_action.csv")
+    fi = pd.read_csv(etl_dir / "feed_info.csv")
+    rep = eda.run(ua, fi)
+    assert rep["overview"]["unique_users"] == 3
+    assert set(rep["per_date"]) == {str(d) for d in range(1, 15)}
+    assert "read_comment_rate" in rep["per_date"]["8"]
+    assert rep["feed"]["works_per_author"]["p100"] >= 1
+    # label counts over the window must sum to the window row count
+    window = ua[ua["date_"].between(8, 14)]
+    assert sum(rep["train_window_read_comment"].values()) == len(window)
