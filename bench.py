@@ -123,7 +123,11 @@ def _torch_models():
 
     class TorchBST(nn.Module):
         """Reference BST structure (bst.py:162-247): 2 transformer blocks,
-        2 heads, mean pooling, LeakyReLU tower with BN+dropout."""
+        2 heads, mean pooling, LeakyReLU tower with BN+dropout. Mirrors
+        rank_tpu's BST exactly (per-block positional embedding added to
+        Q/K inputs only, target appended as last position and always
+        valid, masked mean pool) so scripts/parity_check.py is an
+        apples-to-apples quality comparison."""
 
         def __init__(self, t=HIST_LEN + 1):
             super().__init__()
@@ -131,15 +135,16 @@ def _torch_models():
                 {k: nn.Embedding(VOCABS[k], d) for k, d in EMB_DIMS.items()}
             )
             self.feed_emb = nn.Embedding(VOCABS["feedid"], 16)
-            self.pos = nn.Embedding(t, 16)
             self.blocks = nn.ModuleList()
             for _ in range(2):
                 blk = nn.ModuleDict(
                     {
+                        "pos": nn.Embedding(t, 16),
                         "wq": nn.Linear(16, 16), "wk": nn.Linear(16, 16),
                         "wv": nn.Linear(16, 16), "wo": nn.Linear(16, 16),
                         "n1": nn.LayerNorm(16), "n2": nn.LayerNorm(16),
                         "ff1": nn.Linear(16, 16), "ff2": nn.Linear(16, 16),
+                        "drop": nn.Dropout(0.1),
                     }
                 )
                 self.blocks.append(blk)
@@ -159,18 +164,23 @@ def _torch_models():
             import torch.nn.functional as F
 
             b, t = seq.shape
-            h = self.feed_emb(seq) + self.pos(torch.arange(t))[None]
-            mask = torch.arange(t)[None, :] >= lengths[:, None]
+            h = self.feed_emb(seq)
+            pos = torch.arange(t)
+            # history prefix valid + appended target (last position) valid
+            valid = (pos[None, :] < lengths[:, None]) | (pos[None, :] == t - 1)
             for blk in self.blocks:
-                q = blk["wq"](h).view(b, t, 2, 8).transpose(1, 2)
-                k = blk["wk"](h).view(b, t, 2, 8).transpose(1, 2)
+                qin = h + blk["pos"](pos)[None]  # pe on Q/K inputs, not V
+                q = blk["wq"](qin).view(b, t, 2, 8).transpose(1, 2)
+                k = blk["wk"](qin).view(b, t, 2, 8).transpose(1, 2)
                 v = blk["wv"](h).view(b, t, 2, 8).transpose(1, 2)
                 s = (q @ k.transpose(-2, -1)) / np.sqrt(8.0)
-                s = s.masked_fill(mask[:, None, None, :], -1e9)
+                s = s.masked_fill(~valid[:, None, None, :], -1e9)
                 ctx = (F.softmax(s, -1) @ v).transpose(1, 2).reshape(b, t, 16)
-                h1 = blk["n1"](h + blk["wo"](ctx))
-                h = blk["n2"](h1 + blk["ff2"](F.leaky_relu(blk["ff1"](h1), 0.01)))
-            pooled = h.sum(1) / lengths.clamp(min=1)[:, None]
+                h1 = blk["n1"](qin + blk["drop"](blk["wo"](ctx)))
+                ff = blk["drop"](F.leaky_relu(blk["ff1"](h1), 0.01))
+                h = blk["n2"](h1 + blk["drop"](blk["ff2"](ff)))
+            h = h * valid[..., None]
+            pooled = h.sum(1) / valid.sum(1).clamp(min=1)[:, None]
             embs = [self.emb[kk](cats[kk]) for kk in EMB_DIMS]
             x = torch.cat([dense] + embs + [pooled], dim=1)
             return self.dnn(x).squeeze(1)

@@ -1,5 +1,4 @@
-"""Quality parity check: rank_tpu DCN vs a PyTorch DCN trained on the
-SAME synthetic dataset with the same hyperparameters.
+"""Quality parity check: rank_tpu vs PyTorch on the SAME synthetic data.
 
 The real competition CSVs are not distributed, so reference-AUC parity
 cannot be measured directly this round; this script verifies the next
@@ -7,7 +6,15 @@ best thing — that our TPU training pipeline reaches the same quality as a
 faithful PyTorch implementation of the reference architecture given
 identical data, arch, optimizer (Adam lr 0.005), batch size and epochs.
 
-Usage: python scripts/parity_check.py [--rows 200000] [--epochs 3]
+Covers two model families:
+  * dcn — the dense+categorical tower path (reference dcn.py:114-180,
+    with registered cross weights — the fair comparison);
+  * bst — the behaviour-sequence transformer path (reference
+    bst.py:162-247 in the paper form rank_tpu uses: target appended as
+    last position; exercises seq embedding, masking, attention).
+
+Usage: python scripts/parity_check.py [--model dcn|bst] [--rows 200000]
+       [--epochs 3]
 """
 
 import argparse
@@ -18,15 +25,17 @@ import numpy as np
 
 sys.path.insert(0, ".")  # bench.py lives at the repo root
 
+SEQ = "his_read_comment_7d_seq"
 
-def train_ours(train_d, eval_d, epochs, batch):
+
+def train_ours(model_name, train_d, eval_d, epochs, batch):
     from rank_tpu.features import WECHAT_SCHEMA
     from rank_tpu.models import default_config
     from rank_tpu.train import TrainConfig, Trainer
     from rank_tpu.train.staged import StagedRunner
 
     trainer = Trainer(
-        WECHAT_SCHEMA, default_config("dcn"),
+        WECHAT_SCHEMA, default_config(model_name),
         TrainConfig(batch_size=batch, log_every=0),
     )
     runner = StagedRunner(trainer, train_d, eval_d, batch)
@@ -36,15 +45,16 @@ def train_ours(train_d, eval_d, epochs, batch):
     return runner.evaluate(state, epochs)["auc"]
 
 
-def train_torch(train_d, eval_d, epochs, batch):
+def train_torch(model_name, train_d, eval_d, epochs, batch):
     import torch
     from sklearn.metrics import roc_auc_score
 
     from bench import EMB_DIMS, _torch_models
 
     torch.manual_seed(42)
-    TorchDCN, _ = _torch_models()
-    model = TorchDCN()
+    TorchDCN, TorchBST = _torch_models()
+    is_bst = model_name == "bst"
+    model = TorchBST() if is_bst else TorchDCN()
     opt = torch.optim.Adam(model.parameters(), lr=0.005)
     crit = torch.nn.BCEWithLogitsLoss()
 
@@ -54,17 +64,28 @@ def train_torch(train_d, eval_d, epochs, batch):
             k: torch.tensor(d[k][idx], dtype=torch.long) for k in EMB_DIMS
         }
         y = torch.tensor(d["labels"][idx, 0])
-        return dense, cats, y
+        if not is_bst:
+            return (dense, cats), y
+        # target feedid appended as the last sequence position, as in
+        # rank_tpu.models.sequence.BST
+        seq = np.concatenate(
+            [d[SEQ][idx], d["feedid"][idx][:, None]], axis=1
+        )
+        return (
+            dense, cats,
+            torch.tensor(seq, dtype=torch.long),
+            torch.tensor(d[SEQ + "_length"][idx], dtype=torch.long),
+        ), y
 
-    n = d_rows = train_d["labels"].shape[0]
+    n = train_d["labels"].shape[0]
     rng = np.random.default_rng(0)
     model.train()
     for e in range(epochs):
         order = rng.permutation(n)
         for i in range(0, n - batch + 1, batch):
-            dense, cats, y = to_t(train_d, order[i : i + batch])
+            args_t, y = to_t(train_d, order[i : i + batch])
             opt.zero_grad()
-            loss = crit(model(dense, cats), y)
+            loss = crit(model(*args_t), y)
             loss.backward()
             opt.step()
         print(f"torch epoch {e+1} done", flush=True)
@@ -74,14 +95,15 @@ def train_torch(train_d, eval_d, epochs, batch):
     with torch.no_grad():
         for i in range(0, ne, batch):
             idx = np.arange(i, min(i + batch, ne))
-            dense, cats, y = to_t(eval_d, idx)
-            preds.append(torch.sigmoid(model(dense, cats)).numpy())
+            args_t, y = to_t(eval_d, idx)
+            preds.append(torch.sigmoid(model(*args_t)).numpy())
             ys.append(y.numpy())
     return roc_auc_score(np.concatenate(ys), np.concatenate(preds))
 
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="dcn", choices=("dcn", "bst"))
     ap.add_argument("--rows", type=int, default=200_000)
     ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--batch", type=int, default=1024)
@@ -95,14 +117,14 @@ def main():
     train_d, eval_d = split_train_test(data, 0.15)
 
     t0 = time.time()
-    ours = train_ours(train_d, eval_d, args.epochs, args.batch)
+    ours = train_ours(args.model, train_d, eval_d, args.epochs, args.batch)
     t_ours = time.time() - t0
     t0 = time.time()
-    torch_auc = train_torch(train_d, eval_d, args.epochs, args.batch)
+    torch_auc = train_torch(args.model, train_d, eval_d, args.epochs, args.batch)
     t_torch = time.time() - t0
     print(
-        f"\nDCN eval AUC — rank_tpu (TPU): {ours:.5f} in {t_ours:.0f}s | "
-        f"torch (CPU): {torch_auc:.5f} in {t_torch:.0f}s | "
+        f"\n{args.model.upper()} eval AUC — rank_tpu (TPU): {ours:.5f} in "
+        f"{t_ours:.0f}s | torch (CPU): {torch_auc:.5f} in {t_torch:.0f}s | "
         f"delta {ours - torch_auc:+.5f}"
     )
 
