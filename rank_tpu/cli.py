@@ -68,6 +68,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pooling_method", type=str, default=None)
     p.add_argument("--tasks", type=str, default=None,
                    help="comma list for multi-task models")
+    p.add_argument("--task_weighting", type=str, default=None,
+                   choices=("sum", "uncertainty"),
+                   help="multi-task loss combiner (uncertainty = Kendall "
+                   "et al. 2018 learned log-variances)")
+    p.add_argument("--autoint_layers", type=int, default=None)
+    p.add_argument("--autoint_heads", type=int, default=None)
+    p.add_argument("--autoint_att_dim", type=int, default=None)
     # parallelism / performance
     p.add_argument("--table_parallelism", type=int, default=1)
     p.add_argument("--label", type=str, default="read_comment")
@@ -97,6 +104,10 @@ _CFG_MAP = {
     "residual_internal_dim": int,
     "multihot_tags": bool,
     "tasks": lambda v: tuple(v.split(",")),
+    "task_weighting": str,
+    "autoint_layers": int,
+    "autoint_heads": int,
+    "autoint_att_dim": int,
 }
 
 

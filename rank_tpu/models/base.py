@@ -68,6 +68,10 @@ class ModelConfig:
     # FiBiNet
     bilinear_type: str = "interaction"
     senet_reduction: int = 3
+    # AutoInt (reference to-do, README.md:61; Song et al. 2019 defaults)
+    autoint_layers: int = 3
+    autoint_heads: int = 2
+    autoint_att_dim: int = 32
     # PNN
     pnn_mode: str = "inner"  # inner | outer | both
     outer_outputs: int = 64
@@ -78,6 +82,9 @@ class ModelConfig:
     gru_unroll: int = 5  # scan unroll for the two GRU passes (T=50)
     # multi-task (ESMM/MMOE/PLE)
     tasks: Tuple[str, ...] = ("read_comment", "like", "click_avatar")
+    # 'sum' (reference-style equal weights) or 'uncertainty' (Kendall et
+    # al. 2018 learned per-task log-variances; reference to-do README.md:59)
+    task_weighting: str = "sum"
     num_experts: int = 4
     expert_units: Tuple[int, ...] = (256, 128)
     tower_units: Tuple[int, ...] = (64,)

@@ -104,3 +104,39 @@ class FiBiNet(RankModel):
             dropout_rate=cfg.dropout_rate, name="dnn",
         )(x, train=train)
         return single_task_output(nn.Dense(1, name="output")(h))
+
+
+class AutoInt(RankModel):
+    """Self-attentive field-interaction model (Song et al., CIKM 2019).
+
+    On the reference's to-do list (``README.md:61``), no reference code.
+    Fields = the 7 categorical AFM fields + the 16 numeric features, each
+    numeric embedded as value * learned vector (paper section 3.2); N
+    interacting layers; logit = Dense(flatten(final)).
+    """
+
+    @nn.compact
+    def __call__(self, batch: Batch, train: bool = False):
+        from ..embedding.collection import INITIALIZERS
+
+        cfg = self.cfg
+        tables = self.uniform_tables(AFM_FIELDS, cfg.embedding_dim, "emb")
+        cat_e = jnp.stack([tables[f](batch[f]) for f in AFM_FIELDS], axis=1)
+
+        dense = self.dense_input(batch)  # (B, Nd)
+        w_dense = self.param(
+            "dense_emb",
+            INITIALIZERS[cfg.embedding_init],
+            (dense.shape[-1], cfg.embedding_dim),
+        )
+        dense_e = dense[:, :, None] * w_dense[None]  # (B, Nd, D)
+
+        e = jnp.concatenate([cat_e, dense_e], axis=1)  # (B, F, D)
+        for i in range(cfg.autoint_layers):
+            e = ops.AutoIntLayer(
+                num_heads=cfg.autoint_heads,
+                att_dim=cfg.autoint_att_dim,
+                name=f"interact_{i}",
+            )(e)
+        logit = nn.Dense(1, name="output")(e.reshape(e.shape[0], -1))
+        return single_task_output(logit)

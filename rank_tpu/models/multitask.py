@@ -44,6 +44,19 @@ class _TaskTower(nn.Module):
         return nn.Dense(1)(x)[..., 0]
 
 
+def _task_log_vars(model: RankModel) -> Dict[str, jnp.ndarray]:
+    """Learned per-task log-variances for uncertainty weighting (Kendall,
+    Gal & Cipolla, CVPR 2018 — the reference's MTL-trick to-do,
+    README.md:59). The loss combiner applies exp(-s)*L + s/2 per task;
+    s initialised to 0 recovers the plain sum at step 0."""
+    if model.cfg.task_weighting != "uncertainty":
+        return {}
+    return {
+        t: model.param(f"task_log_var_{t}", nn.initializers.zeros, ())
+        for t in model.cfg.tasks
+    }
+
+
 def _shared_input(model: RankModel, batch: Batch) -> jnp.ndarray:
     coll = EmbeddingCollection(model.schema, model.cfg.embedding_init, name="tables")
     field_embs = model.tower_field_embeddings(coll, batch)
@@ -72,7 +85,8 @@ class MMOE(RankModel):
             logits[task] = _TaskTower(cfg.tower_units, name=f"tower_{task}")(
                 mixed, train
             )
-        return {"logits": logits, "aux_loss": jnp.asarray(0.0)}
+        return {"logits": logits, "aux_loss": jnp.asarray(0.0),
+                "task_log_vars": _task_log_vars(self)}
 
 
 class PLE(RankModel):
@@ -130,7 +144,8 @@ class PLE(RankModel):
             task: _TaskTower(cfg.tower_units, name=f"tower_{task}")(inputs[ti], train)
             for ti, task in enumerate(cfg.tasks)
         }
-        return {"logits": logits, "aux_loss": jnp.asarray(0.0)}
+        return {"logits": logits, "aux_loss": jnp.asarray(0.0),
+                "task_log_vars": _task_log_vars(self)}
 
 
 class ESMM(RankModel):

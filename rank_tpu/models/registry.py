@@ -1,6 +1,7 @@
-"""Model registry: one ``build_model(schema, config)`` for all 16 models,
-replacing the reference's 8 separate entry scripts (README.md:11-12) and
-covering the 8 README-only models.
+"""Model registry: one ``build_model(schema, config)`` for the whole zoo
+(the reference's 16 models plus AutoInt from its to-do list), replacing
+the reference's 8 separate entry scripts (README.md:11-12) and covering
+the 8 README-only models.
 
 Per-model default configs encode each reference model's best-AUC
 hyperparameters (BASELINE.md / algorithm/<M>/result.md).
@@ -12,7 +13,7 @@ from typing import Dict, Type
 
 from ..features import FeatureSchema
 from .base import ModelConfig, RankModel
-from .cross_family import DCN, DeepCrossing, FiBiNet, XDeepFM
+from .cross_family import DCN, AutoInt, DeepCrossing, FiBiNet, XDeepFM
 from .fm_family import AFM, FFM, PNN, DeepFM, FwFM, WideDeep
 from .multitask import ESMM, MMOE, PLE
 from .sequence import BST, DIEN, DIN
@@ -30,6 +31,7 @@ MODEL_CLASSES: Dict[str, Type[RankModel]] = {
     "din": DIN,
     "dien": DIEN,
     "fibinet": FiBiNet,
+    "autoint": AutoInt,
     "bst": BST,
     "esmm": ESMM,
     "mmoe": MMOE,
@@ -52,6 +54,7 @@ DEFAULT_CONFIGS: Dict[str, ModelConfig] = {
     ),
     "xdeepfm": ModelConfig(name="xdeepfm", embedding_dim=16, cin_layer_sizes=(128, 128)),
     "fibinet": ModelConfig(name="fibinet", embedding_dim=16),
+    "autoint": ModelConfig(name="autoint", embedding_dim=16),
     "din": ModelConfig(
         name="din", activation="dice", use_softmax=True,
         mini_batch_aware_regularization=False,

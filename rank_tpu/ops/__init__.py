@@ -6,6 +6,7 @@ config with these jnp versions as fallback/oracle).
 
 from .activations import Dice, PReLU, leaky_relu, prelu
 from .attention import BilinearAttention, DINAttention, length_mask, masked_softmax
+from .autoint import AutoIntLayer
 from .cin import CIN
 from .cross import CrossNetwork, ResidualStack, ResidualUnit
 from .fm import (
@@ -26,6 +27,7 @@ from .transformer import BSTTransformerBlock
 __all__ = [
     "Dice", "PReLU", "leaky_relu", "prelu",
     "BilinearAttention", "DINAttention", "length_mask", "masked_softmax",
+    "AutoIntLayer",
     "CIN", "CrossNetwork", "ResidualStack", "ResidualUnit",
     "ffm_interaction", "fm_first_order", "fm_second_order",
     "fwfm_interaction", "pair_indices",

@@ -109,11 +109,18 @@ def make_loss_fn(model, model_cfg: ModelConfig, label_cols: Dict[str, int]):
                 total = total + jnp.sum(ll * valid) / denom
                 probs[task_name] = p
         elif multi:
+            log_vars = out.get("task_log_vars", {})
             for task in model_cfg.tasks:
                 logit = out["logits"][task]
                 y = batch["labels"][:, label_cols[task]]
                 ll = optax.sigmoid_binary_cross_entropy(logit, y)
-                total = total + jnp.sum(ll * valid) / denom
+                task_loss = jnp.sum(ll * valid) / denom
+                if task in log_vars:
+                    # uncertainty weighting (Kendall et al. 2018):
+                    # exp(-s)*L + s/2 with s = log sigma^2, init 0
+                    s = log_vars[task]
+                    task_loss = jnp.exp(-s) * task_loss + 0.5 * s
+                total = total + task_loss
                 probs[task] = jax.nn.sigmoid(logit)
         else:
             (task,) = label_cols.keys()

@@ -39,6 +39,9 @@ def _small_config(name):
         num_levels=2,
         specific_experts_per_task=1,
         shared_experts=1,
+        autoint_layers=2,
+        autoint_heads=2,
+        autoint_att_dim=4,
     )
 
 

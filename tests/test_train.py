@@ -114,3 +114,25 @@ def test_predictions_export(tmp_path):
     lines = open(path).read().strip().split("\n")
     assert lines[0] == "read_comment,probability"
     assert len(lines) == n + 1
+
+
+def test_autoint_learns():
+    _, _, stats = _run("autoint", autoint_layers=2, autoint_att_dim=8)
+    assert stats["auc"] > 0.60, stats
+
+
+def test_mmoe_uncertainty_weighting():
+    """Kendall-style task weighting: log-vars are trained and the model
+    still learns (reference MTL-trick to-do, README.md:59)."""
+    import jax
+
+    trainer, state, stats = _run(
+        "mmoe", epochs=4, task_weighting="uncertainty"
+    )
+    assert stats["task_aucs"]["read_comment"] > 0.55, stats["task_aucs"]
+    # params live in a nested pytree; find the log-vars generically
+    flat = jax.tree_util.tree_flatten_with_path(state["params"])[0]
+    lvs = [v for path, v in flat if "task_log_var" in str(path)]
+    assert len(lvs) == 3, "one log-variance per task"
+    assert all(np.isfinite(np.asarray(v)) for v in lvs)
+    assert any(abs(float(v)) > 1e-6 for v in lvs), "log-vars were trained"
