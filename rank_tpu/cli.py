@@ -69,9 +69,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tasks", type=str, default=None,
                    help="comma list for multi-task models")
     p.add_argument("--task_weighting", type=str, default=None,
-                   choices=("sum", "uncertainty"),
-                   help="multi-task loss combiner (uncertainty = Kendall "
-                   "et al. 2018 learned log-variances)")
+                   choices=("sum", "uncertainty", "gradnorm", "pcgrad"),
+                   help="multi-task strategy: uncertainty = learned "
+                   "log-variances (Kendall 2018); gradnorm = adaptive task "
+                   "weights (Chen 2018); pcgrad = gradient surgery (Yu 2020)")
+    p.add_argument("--gradnorm_alpha", type=float, default=None)
+    p.add_argument("--gradnorm_lr", type=float, default=None)
     p.add_argument("--autoint_layers", type=int, default=None)
     p.add_argument("--autoint_heads", type=int, default=None)
     p.add_argument("--autoint_att_dim", type=int, default=None)
@@ -105,6 +108,8 @@ _CFG_MAP = {
     "multihot_tags": bool,
     "tasks": lambda v: tuple(v.split(",")),
     "task_weighting": str,
+    "gradnorm_alpha": float,
+    "gradnorm_lr": float,
     "autoint_layers": int,
     "autoint_heads": int,
     "autoint_att_dim": int,

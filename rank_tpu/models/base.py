@@ -82,9 +82,14 @@ class ModelConfig:
     gru_unroll: int = 5  # scan unroll for the two GRU passes (T=50)
     # multi-task (ESMM/MMOE/PLE)
     tasks: Tuple[str, ...] = ("read_comment", "like", "click_avatar")
-    # 'sum' (reference-style equal weights) or 'uncertainty' (Kendall et
-    # al. 2018 learned per-task log-variances; reference to-do README.md:59)
+    # 'sum' (reference-style equal weights), 'uncertainty' (Kendall et al.
+    # 2018 learned per-task log-variances), 'gradnorm' (Chen et al. 2018)
+    # or 'pcgrad' (Yu et al. 2020) — the reference's MTL-trick to-do list
+    # (README.md:59). gradnorm/pcgrad need logit-head models (mmoe/ple);
+    # see train/mtl.py.
     task_weighting: str = "sum"
+    gradnorm_alpha: float = 1.5  # paper's asymmetry default
+    gradnorm_lr: float = 0.025  # weight-update step size
     num_experts: int = 4
     expert_units: Tuple[int, ...] = (256, 128)
     tower_units: Tuple[int, ...] = (64,)

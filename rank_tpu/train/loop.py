@@ -42,6 +42,7 @@ from ..features import FeatureSchema
 from ..models import MULTI_TASK_MODELS, ModelConfig, build_model
 from ..parallel.mesh import DATA_AXIS, TABLE_AXIS, make_mesh
 from . import metrics as M
+from . import mtl
 
 
 @dataclasses.dataclass
@@ -136,6 +137,38 @@ def make_loss_fn(model, model_cfg: ModelConfig, label_cols: Dict[str, int]):
     return loss_fn
 
 
+def make_task_losses_fn(model, model_cfg: ModelConfig, label_cols: Dict[str, int]):
+    """Per-task loss VECTOR (T,) for gradient-level MTL strategies
+    (PCGrad/GradNorm). Logit-head multi-task models only (MMOE/PLE);
+    ESMM's product-of-probs CTCVR loss is not task-separable this way."""
+
+    def task_losses_fn(params, extra, batch, rng, train: bool):
+        variables = {"params": params, **extra}
+        if train:
+            out, mutated = model.apply(
+                variables, batch, mutable=["batch_stats"],
+                rngs={"dropout": rng}, train=True,
+            )
+        else:
+            out = model.apply(variables, batch, train=False)
+            mutated = {}
+        valid = batch.get("_valid", jnp.ones(batch["labels"].shape[0]))
+        denom = jnp.maximum(jnp.sum(valid), 1.0)
+        losses, probs = [], {}
+        for task in model_cfg.tasks:
+            logit = out["logits"][task]
+            y = batch["labels"][:, label_cols[task]]
+            ll = optax.sigmoid_binary_cross_entropy(logit, y)
+            losses.append(jnp.sum(ll * valid) / denom)
+            probs[task] = jax.nn.sigmoid(logit)
+        vec = jnp.stack(losses)
+        # the loss vector rides along in aux so jacrev callers get the
+        # primal values without a second forward pass
+        return vec, (vec, probs, mutated)
+
+    return task_losses_fn
+
+
 class Trainer:
     def __init__(
         self,
@@ -153,6 +186,18 @@ class Trainer:
         self.model = build_model(schema, model_cfg)
         self.label_cols = _labels_for(model_cfg, train_cfg, schema)
         self.loss_fn = make_loss_fn(self.model, model_cfg, self.label_cols)
+        self.mtl_mode = None
+        if model_cfg.task_weighting in ("pcgrad", "gradnorm"):
+            if model_cfg.name not in MULTI_TASK_MODELS or model_cfg.name == "esmm":
+                raise ValueError(
+                    f"task_weighting={model_cfg.task_weighting!r} needs a "
+                    "logit-head multi-task model (mmoe/ple), got "
+                    f"{model_cfg.name!r}"
+                )
+            self.mtl_mode = model_cfg.task_weighting
+            self.task_losses_fn = make_task_losses_fn(
+                self.model, model_cfg, self.label_cols
+            )
         adam = optax.adam(train_cfg.learning_rate, b1=0.9, b2=0.999, eps=1e-8)
         if train_cfg.gradient_clip_norm > 0:
             self.tx = optax.chain(
@@ -237,6 +282,8 @@ class Trainer:
             "step": jnp.zeros((), jnp.int32),
             "rng": jax.random.PRNGKey(self.cfg.seed + 2),
         }
+        if self.mtl_mode == "gradnorm":
+            state["mtl"] = mtl.gradnorm_init(len(self.model_cfg.tasks))
         self._state_shardings = {
             "params": param_shardings,
             "extra": jax.tree_util.tree_map(
@@ -248,6 +295,10 @@ class Trainer:
             "step": self._repl,
             "rng": self._repl,
         }
+        if "mtl" in state:
+            self._state_shardings["mtl"] = jax.tree_util.tree_map(
+                lambda _: self._repl, state["mtl"]
+            )
         return state
 
     # -- steps ------------------------------------------------------------
@@ -269,10 +320,34 @@ class Trainer:
 
     def _train_step_inner(self, state, meters, batch):
         rng, new_rng = jax.random.split(state["rng"])
-        grad_fn = jax.value_and_grad(self.loss_fn, has_aux=True)
-        (loss, (probs, mutated)), grads = grad_fn(
-            state["params"], state["extra"], batch, rng, True
-        )
+        new_mtl = state.get("mtl")
+        if self.mtl_mode is not None:
+            # per-task grads: one forward + T backward passes via jacrev;
+            # leaves carry a leading task axis (T, *param.shape)
+            jac_fn = jax.jacrev(self.task_losses_fn, has_aux=True)
+            stacked, (task_losses, probs, mutated) = jac_fn(
+                state["params"], state["extra"], batch, rng, True
+            )
+            if self.mtl_mode == "pcgrad":
+                gram = mtl.gram_matrix(stacked)
+                weights = mtl.pcgrad_weights(gram, rng)
+                loss = jnp.sum(task_losses)
+            else:  # gradnorm
+                mask = mtl.shared_param_mask(
+                    state["params"], mtl.default_task_specific
+                )
+                norms = mtl.shared_grad_norms(stacked, mask)
+                weights, new_mtl = mtl.gradnorm_update(
+                    state["mtl"], task_losses, norms,
+                    self.model_cfg.gradnorm_alpha, self.model_cfg.gradnorm_lr,
+                )
+                loss = jnp.sum(weights * task_losses)
+            grads = mtl.combine_stacked(stacked, weights)
+        else:
+            grad_fn = jax.value_and_grad(self.loss_fn, has_aux=True)
+            (loss, (probs, mutated)), grads = grad_fn(
+                state["params"], state["extra"], batch, rng, True
+            )
         updates, opt_state = self.tx.update(
             grads, state["opt_state"], state["params"]
         )
@@ -287,6 +362,8 @@ class Trainer:
             "step": state["step"] + 1,
             "rng": new_rng,
         }
+        if new_mtl is not None:
+            new_state["mtl"] = new_mtl
         # metrics on the primary head, folded into the carried meters so an
         # epoch needs zero extra dispatches/host syncs per step
         if "ctr" in probs:  # ESMM: CTR head's label is tasks[0]
