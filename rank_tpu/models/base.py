@@ -74,6 +74,13 @@ class ModelConfig:
     autoint_att_dim: int = 32
     # PNN
     pnn_mode: str = "inner"  # inner | outer | both
+    # FLEN (reference to-do README.md:61): field groups for the FwBI module
+    # — user / item / tag-context partition of the WeChat fields
+    flen_groups: Tuple[Tuple[str, ...], ...] = (
+        ("userid", "device"),
+        ("feedid", "authorid", "bgm_song_id", "bgm_singer_id"),
+        ("manual_tag_list",),
+    )
     outer_outputs: int = 64
     # DIEN
     gru_hidden_dim: int = 16

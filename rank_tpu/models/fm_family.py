@@ -158,3 +158,57 @@ class WideDeep(RankModel):
         )(deep_in, train=train)
         deep = nn.Dense(1, name="deep_output")(h)
         return single_task_output(wide + deep)
+
+
+class FLEN(RankModel):
+    """FLEN (Feng et al. 2020, arXiv:1911.04690) — the second model on the
+    reference's to-do list (README.md:61, no reference code).
+
+    Fields are partitioned into field GROUPS (user / item / tag context for
+    the WeChat schema, cfg.flen_groups). Three components:
+      * S (first order): per-field dim-1 weights + dense-feature linear;
+      * FwBI: h_MF (r-weighted elementwise products of group-sum
+        embeddings over group pairs) + h_FM (r-weighted intra-group
+        bi-interaction pooling), see ops/fm.py:flen_field_wise_bi_interaction;
+      * MLP: flat field embeddings + dense features -> tower.
+    logit = Dense([h_S ; h_MF+h_FM ; h_MLP]). Dense features (absent in the
+    paper's Avazu setting) enter S and MLP, matching this zoo's other
+    full-feature models.
+    """
+
+    @nn.compact
+    def __call__(self, batch: Batch, train: bool = False):
+        cfg = self.cfg
+        fields = tuple(f for group in cfg.flen_groups for f in group)
+        slices, start = [], 0
+        for group in cfg.flen_groups:
+            slices.append((start, start + len(group)))
+            start += len(group)
+        tables = self.uniform_tables(fields, cfg.embedding_dim, "emb")
+        linear = self.uniform_tables(fields, 1, "linear")
+        emb = jnp.stack([tables[f](batch[f]) for f in fields], axis=1)
+
+        h_s = sum(linear[f](batch[f]) for f in fields)
+        h_s = h_s + nn.Dense(1, name="dense_linear")(self.dense_input(batch))
+
+        m = len(cfg.flen_groups)
+        r_intra = self.param("r_intra", nn.initializers.ones, (m,))
+        r_inter = self.param(
+            "r_inter", nn.initializers.ones, (m * (m - 1) // 2,)
+        )
+        h_fwbi = ops.flen_field_wise_bi_interaction(
+            emb, tuple(slices), r_intra, r_inter
+        )
+
+        mlp_in = jnp.concatenate(
+            [self.dense_input(batch), emb.reshape(emb.shape[0], -1)], axis=-1
+        )
+        h_mlp = ops.MLPTower(
+            cfg.hidden_units,
+            activation="relu",
+            batch_norm=cfg.batch_norm,
+            dropout_rate=cfg.dropout_rate,
+        )(mlp_in, train=train)
+
+        out = jnp.concatenate([h_s, h_fwbi, h_mlp], axis=-1)
+        return single_task_output(nn.Dense(1, name="final")(out))

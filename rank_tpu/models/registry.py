@@ -14,7 +14,7 @@ from typing import Dict, Type
 from ..features import FeatureSchema
 from .base import ModelConfig, RankModel
 from .cross_family import DCN, AutoInt, DeepCrossing, FiBiNet, XDeepFM
-from .fm_family import AFM, FFM, PNN, DeepFM, FwFM, WideDeep
+from .fm_family import AFM, FFM, FLEN, PNN, DeepFM, FwFM, WideDeep
 from .multitask import ESMM, MMOE, PLE
 from .sequence import BST, DIEN, DIN
 
@@ -32,6 +32,7 @@ MODEL_CLASSES: Dict[str, Type[RankModel]] = {
     "dien": DIEN,
     "fibinet": FiBiNet,
     "autoint": AutoInt,
+    "flen": FLEN,
     "bst": BST,
     "esmm": ESMM,
     "mmoe": MMOE,
@@ -55,6 +56,7 @@ DEFAULT_CONFIGS: Dict[str, ModelConfig] = {
     "xdeepfm": ModelConfig(name="xdeepfm", embedding_dim=16, cin_layer_sizes=(128, 128)),
     "fibinet": ModelConfig(name="fibinet", embedding_dim=16),
     "autoint": ModelConfig(name="autoint", embedding_dim=16),
+    "flen": ModelConfig(name="flen", embedding_dim=16),
     "din": ModelConfig(
         name="din", activation="dice", use_softmax=True,
         mini_batch_aware_regularization=False,

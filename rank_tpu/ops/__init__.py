@@ -11,8 +11,10 @@ from .cin import CIN
 from .cross import CrossNetwork, ResidualStack, ResidualUnit
 from .fm import (
     ffm_interaction,
+    flen_field_wise_bi_interaction,
     fm_first_order,
     fm_second_order,
+    fm_second_order_vector,
     fwfm_interaction,
     pair_indices,
     pairwise_dot,
@@ -29,7 +31,8 @@ __all__ = [
     "BilinearAttention", "DINAttention", "length_mask", "masked_softmax",
     "AutoIntLayer",
     "CIN", "CrossNetwork", "ResidualStack", "ResidualUnit",
-    "ffm_interaction", "fm_first_order", "fm_second_order",
+    "ffm_interaction", "flen_field_wise_bi_interaction",
+    "fm_first_order", "fm_second_order", "fm_second_order_vector",
     "fwfm_interaction", "pair_indices",
     "pairwise_dot", "pairwise_hadamard",
     "MLPTower", "InnerProductLayer", "OuterProductLayer",

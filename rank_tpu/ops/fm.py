@@ -45,6 +45,42 @@ def fm_second_order(emb: jnp.ndarray, keepdims: bool = True) -> jnp.ndarray:
     return out
 
 
+def fm_second_order_vector(emb: jnp.ndarray) -> jnp.ndarray:
+    """Bi-interaction pooling (NFM form): 0.5*((sum_f v)^2 - sum_f v^2)
+    kept as a vector. emb: (B, F, D) -> (B, D)."""
+    sum_emb = jnp.sum(emb, axis=1)
+    return 0.5 * (jnp.square(sum_emb) - jnp.sum(jnp.square(emb), axis=1))
+
+
+def flen_field_wise_bi_interaction(
+    emb: jnp.ndarray,
+    group_slices: Tuple[Tuple[int, int], ...],
+    r_intra: jnp.ndarray,
+    r_inter: jnp.ndarray,
+) -> jnp.ndarray:
+    """FLEN's FwBI interaction vector h_MF + h_FM (Feng et al. 2020,
+    arXiv:1911.04690 §3.2; reference to-do README.md:61, no code).
+
+    emb: (B, F, D) with fields ordered so each field GROUP is a contiguous
+    [start, stop) slice. h_MF sums r_inter-weighted elementwise products of
+    the M group-sum embeddings over group pairs; h_FM sums r_intra-weighted
+    intra-group bi-interaction poolings. Returns (B, D).
+    """
+    group_sums = jnp.stack(
+        [jnp.sum(emb[:, a:b, :], axis=1) for a, b in group_slices], axis=1
+    )  # (B, M, D)
+    i, j = pair_indices(len(group_slices))
+    h_mf = jnp.sum(
+        group_sums[:, i, :] * group_sums[:, j, :] * r_inter[None, :, None],
+        axis=1,
+    )
+    h_fm = sum(
+        r_intra[m] * fm_second_order_vector(emb[:, a:b, :])
+        for m, (a, b) in enumerate(group_slices)
+    )
+    return h_mf + h_fm
+
+
 def pairwise_hadamard(emb: jnp.ndarray) -> jnp.ndarray:
     """All F*(F-1)/2 elementwise pair products, (B, F, D) -> (B, P, D).
 

@@ -335,3 +335,42 @@ class TestActivations:
         # running stats must move toward batch stats
         ra_mean = np.asarray(mutated["batch_stats"]["BatchNorm_0"]["mean"])
         np.testing.assert_allclose(ra_mean, 0.01 * mean, rtol=1e-3, atol=1e-4)
+
+
+class TestFLEN:
+    def test_fwbi_oracle(self):
+        """flen_field_wise_bi_interaction vs explicit per-group loops
+        (Feng et al. 2020 eq. 4-8)."""
+        rng = np.random.default_rng(5)
+        B, D = 4, 6
+        slices = ((0, 2), (2, 6), (6, 7))  # groups of 2, 4, 1 fields
+        emb = rng.normal(size=(B, 7, D)).astype(np.float32)
+        r_intra = rng.normal(size=(3,)).astype(np.float32)
+        r_inter = rng.normal(size=(3,)).astype(np.float32)
+
+        sums = [emb[:, a:b].sum(axis=1) for a, b in slices]
+        want = np.zeros((B, D), np.float32)
+        p = 0
+        for m in range(3):
+            for n in range(m + 1, 3):
+                want += r_inter[p] * sums[m] * sums[n]
+                p += 1
+        for m, (a, b) in enumerate(slices):
+            g = emb[:, a:b]
+            want += r_intra[m] * 0.5 * (
+                np.square(g.sum(axis=1)) - np.square(g).sum(axis=1)
+            )
+        got = ops.flen_field_wise_bi_interaction(
+            jnp.asarray(emb), slices, jnp.asarray(r_intra), jnp.asarray(r_inter)
+        )
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+    def test_second_order_vector_sums_to_scalar_form(self):
+        rng = np.random.default_rng(6)
+        emb = jnp.asarray(rng.normal(size=(3, 5, 4)).astype(np.float32))
+        vec = ops.fm_second_order_vector(emb)
+        np.testing.assert_allclose(
+            np.asarray(vec.sum(axis=-1)),
+            np.asarray(ops.fm_second_order(emb))[:, 0],
+            rtol=1e-4,
+        )

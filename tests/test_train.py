@@ -136,3 +136,8 @@ def test_mmoe_uncertainty_weighting():
     assert len(lvs) == 3, "one log-variance per task"
     assert all(np.isfinite(np.asarray(v)) for v in lvs)
     assert any(abs(float(v)) > 1e-6 for v in lvs), "log-vars were trained"
+
+
+def test_flen_learns():
+    _, _, stats = _run("flen")
+    assert stats["auc"] > 0.6, stats
