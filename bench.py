@@ -185,7 +185,73 @@ def _torch_models():
             x = torch.cat([dense] + embs + [pooled], dim=1)
             return self.dnn(x).squeeze(1)
 
-    return TorchDCN, TorchBST
+    class TorchDice(nn.Module):
+        """Reference Dice (algorithm/DIN/activations.py:31-68): affine-free
+        BN (momentum 0.01) gated sigmoid blend with learned alpha."""
+
+        def __init__(self, dim):
+            super().__init__()
+            self.alpha = nn.Parameter(torch.zeros(dim))
+            self.bn = nn.BatchNorm1d(dim, affine=False, momentum=0.01, eps=1e-5)
+
+        def forward(self, x):
+            p = torch.sigmoid(self.bn(x))
+            return self.alpha * (1.0 - p) * x + p * x
+
+    class TorchDIN(nn.Module):
+        """Reference DIN structure (din.py:225-323) with a REGISTERED
+        attention MLP (the reference recreates it inside every forward,
+        din.py:61-67, so it never trains — this is the fair fixed form,
+        matching rank_tpu's DINAttention) and scalar tag embedding
+        (mirrors rank_tpu DIN with multihot_tags=False). Tower: Linear ->
+        Dice -> BN -> Dropout per layer (din.py:272-284 ordering)."""
+
+        def __init__(self, use_softmax=True):
+            super().__init__()
+            self.emb = nn.ModuleDict(
+                {k: nn.Embedding(VOCABS[k], d) for k, d in EMB_DIMS.items()}
+            )
+            self.feed_emb = nn.Embedding(VOCABS["feedid"], 16)
+            self.att = nn.Sequential(
+                nn.Linear(64, 64), nn.ReLU(),
+                nn.Linear(64, 32), nn.ReLU(), nn.Linear(32, 1),
+            )
+            self.use_softmax = use_softmax
+            d = 16 + sum(EMB_DIMS.values()) + 16 + 16
+            layers = []
+            for h in (512, 256, 128):
+                layers += [
+                    nn.Linear(d, h), TorchDice(h),
+                    nn.BatchNorm1d(h), nn.Dropout(0.1),
+                ]
+                d = h
+            layers.append(nn.Linear(d, 1))
+            self.dnn = nn.Sequential(*layers)
+
+        def forward(self, dense, cats, target, seq, lengths):
+            import torch
+            import torch.nn.functional as F
+
+            b, t = seq.shape
+            q = self.feed_emb(target)  # (B, 16)
+            keys = self.feed_emb(seq)  # (B, T, 16) — shared table
+            qe = q.unsqueeze(1).expand(-1, t, -1)
+            cross = torch.cat([qe, keys, qe - keys, qe * keys], dim=-1)
+            w = self.att(cross)  # (B, T, 1)
+            mask = (
+                torch.arange(t)[None, :] < lengths[:, None]
+            ).unsqueeze(-1)
+            if self.use_softmax:
+                w = torch.where(mask, w, torch.full_like(w, -(2.0**32) + 1))
+                w = F.softmax(w / np.sqrt(16.0), dim=1)
+            else:
+                w = w * mask.float()
+            pooled = torch.bmm(w.transpose(1, 2), keys).squeeze(1)  # (B,16)
+            embs = [self.emb[kk](cats[kk]) for kk in EMB_DIMS]
+            x = torch.cat([dense] + embs + [q, pooled], dim=1)
+            return self.dnn(x).squeeze(1)
+
+    return {"dcn": TorchDCN, "bst": TorchBST, "din": TorchDIN}
 
 
 def bench_torch(model_name: str) -> float:
@@ -193,7 +259,8 @@ def bench_torch(model_name: str) -> float:
 
     torch.manual_seed(0)
     torch.set_num_threads(max(1, (torch.get_num_threads())))
-    TorchDCN, TorchBST = _torch_models()
+    torch_zoo = _torch_models()
+    TorchDCN, TorchBST = torch_zoo["dcn"], torch_zoo["bst"]
     rng = np.random.default_rng(0)
     b = BATCH_TORCH
     dense = torch.tensor(rng.normal(size=(b, 16)).astype(np.float32))

@@ -11,7 +11,10 @@ Covers two model families:
     with registered cross weights — the fair comparison);
   * bst — the behaviour-sequence transformer path (reference
     bst.py:162-247 in the paper form rank_tpu uses: target appended as
-    last position; exercises seq embedding, masking, attention).
+    last position; exercises seq embedding, masking, attention);
+  * din — the Dice/target-attention path (reference din.py:225-323 with
+    a registered attention MLP — the fair fixed form; exercises Dice BN
+    semantics, masked attention, act->BN tower ordering).
 
 Usage: python scripts/parity_check.py [--model dcn|bst] [--rows 200000]
        [--epochs 3]
@@ -34,8 +37,13 @@ def train_ours(model_name, train_d, eval_d, epochs, batch):
     from rank_tpu.train import TrainConfig, Trainer
     from rank_tpu.train.staged import StagedRunner
 
+    cfg = default_config(model_name)
+    if model_name == "din":
+        # scalar tag embedding on both sides (apples-to-apples with the
+        # torch mirror, which looks tags up as one id like the reference)
+        cfg = cfg.replace(multihot_tags=False)
     trainer = Trainer(
-        WECHAT_SCHEMA, default_config(model_name),
+        WECHAT_SCHEMA, cfg,
         TrainConfig(batch_size=batch, log_every=0),
     )
     runner = StagedRunner(trainer, train_d, eval_d, batch)
@@ -52,9 +60,9 @@ def train_torch(model_name, train_d, eval_d, epochs, batch):
     from bench import EMB_DIMS, _torch_models
 
     torch.manual_seed(42)
-    TorchDCN, TorchBST = _torch_models()
+    model = _torch_models()[model_name]()
     is_bst = model_name == "bst"
-    model = TorchBST() if is_bst else TorchDCN()
+    is_din = model_name == "din" 
     opt = torch.optim.Adam(model.parameters(), lr=0.005)
     crit = torch.nn.BCEWithLogitsLoss()
 
@@ -64,6 +72,13 @@ def train_torch(model_name, train_d, eval_d, epochs, batch):
             k: torch.tensor(d[k][idx], dtype=torch.long) for k in EMB_DIMS
         }
         y = torch.tensor(d["labels"][idx, 0])
+        if is_din:
+            return (
+                dense, cats,
+                torch.tensor(d["feedid"][idx], dtype=torch.long),
+                torch.tensor(d[SEQ][idx], dtype=torch.long),
+                torch.tensor(d[SEQ + "_length"][idx], dtype=torch.long),
+            ), y
         if not is_bst:
             return (dense, cats), y
         # target feedid appended as the last sequence position, as in
@@ -103,7 +118,7 @@ def train_torch(model_name, train_d, eval_d, epochs, batch):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--model", default="dcn", choices=("dcn", "bst"))
+    ap.add_argument("--model", default="dcn", choices=("dcn", "bst", "din"))
     ap.add_argument("--rows", type=int, default=200_000)
     ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--batch", type=int, default=1024)
