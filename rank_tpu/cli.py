@@ -83,6 +83,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--label", type=str, default="read_comment")
     p.add_argument("--profile_dir", type=str, default=None)
     p.add_argument("--gradient_clip_norm", type=float, default=0.0)
+    p.add_argument("--matmul_precision", type=str, default=None,
+                   choices=("bfloat16", "float32", "highest"),
+                   help="MXU matmul pass precision (default: XLA default, "
+                   "which already runs bf16-input passes here; "
+                   "'highest' measured free at the WeChat dims — see "
+                   "docs/REPRODUCING.md section 5)")
     p.add_argument("--multihot_tags", type=_str2bool, default=None)
     p.add_argument(
         "--device_resident", type=_str2bool, default=True,
@@ -201,6 +207,7 @@ def main(argv=None) -> int:
         table_parallelism=args.table_parallelism,
         profile_dir=args.profile_dir,
         gradient_clip_norm=args.gradient_clip_norm,
+        matmul_precision=args.matmul_precision,
     )
     trainer = Trainer(schema, model_cfg, train_cfg)
     per_host_bs = max(

@@ -62,8 +62,12 @@ class TrainConfig:
     profile_dir: Optional[str] = None  # jax.profiler trace output
     # tables smaller than this stay replicated even on a table-sharded mesh
     min_rows_to_shard: int = 1024
-    # MXU matmul passes: None -> XLA default; 'bfloat16' trades ~1e-3
-    # relative precision for throughput on matmul-heavy models (BST)
+    # MXU matmul passes: None -> XLA default. Measured on this TPU
+    # (interleaved A/B at the WeChat dims): the default already runs
+    # bf16-input passes (explicit 'bfloat16' is bit-identical) and even
+    # 'highest' costs no throughput — the models are bandwidth-bound, not
+    # MXU-bound. The knob matters for precision-sensitive large-dim
+    # configs; see docs/REPRODUCING.md §5.
     matmul_precision: Optional[str] = None
     # global-norm gradient clipping; 0 disables (reference trains unclipped)
     gradient_clip_norm: float = 0.0
