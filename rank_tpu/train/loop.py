@@ -283,11 +283,17 @@ class Trainer:
             "params": params,
             "extra": extra,
             "opt_state": opt_state,
-            "step": jnp.zeros((), jnp.int32),
-            "rng": jax.random.PRNGKey(self.cfg.seed + 2),
+            # committed replicated: see meters_init on why plain
+            # host-created scalars would trigger a dispatch-1 recompile
+            "step": jax.device_put(jnp.zeros((), jnp.int32), self._repl),
+            "rng": jax.device_put(
+                jax.random.PRNGKey(self.cfg.seed + 2), self._repl
+            ),
         }
         if self.mtl_mode == "gradnorm":
-            state["mtl"] = mtl.gradnorm_init(len(self.model_cfg.tasks))
+            state["mtl"] = jax.device_put(
+                mtl.gradnorm_init(len(self.model_cfg.tasks)), self._repl
+            )
         self._state_shardings = {
             "params": param_shardings,
             "extra": jax.tree_util.tree_map(
@@ -307,14 +313,17 @@ class Trainer:
 
     # -- steps ------------------------------------------------------------
 
-    @staticmethod
-    def meters_init():
+    def meters_init(self):
         m = M.auc_state_init()
         m.update(
             loss=jnp.zeros(()), correct=jnp.zeros(()), count=jnp.zeros(()),
             steps=jnp.zeros(()),
         )
-        return m
+        # committed to the mesh (replicated): a fresh host-created meter
+        # has an empty-sharding aval that differs from the step's output
+        # aval and forces a full recompile on the FIRST dispatch of every
+        # epoch (measured ~12 s each through the tunnel)
+        return jax.device_put(m, self._repl)
 
     def _train_step(self, state, meters, batch):
         if self.cfg.matmul_precision:
