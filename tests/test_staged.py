@@ -49,3 +49,26 @@ def test_staged_training_learns():
     assert stats["auc"] > 0.6, stats
     ev = runner.evaluate(state, 3)
     assert ev["auc"] > 0.6, ev
+
+
+def test_fresh_meters_and_state_scalars_are_mesh_committed():
+    """Fresh meters / step / rng must carry the mesh's replicated sharding:
+    an empty-sharding aval differs from the compiled step's output aval and
+    forces a full recompile at every epoch's first dispatch (~12 s each
+    through the TPU tunnel; fixed in Trainer.meters_init/init_state)."""
+    import jax
+    from rank_tpu.data.loader import ArrayLoader
+    from rank_tpu.data.synthetic import make_synthetic_dataset
+    from rank_tpu.features import tiny_schema
+    from rank_tpu.models import default_config
+    from rank_tpu.train import TrainConfig, Trainer
+
+    schema = tiny_schema(vocab=64, hist_len=4)
+    data = make_synthetic_dataset(schema, num_rows=256, seed=0)
+    t = Trainer(schema, default_config("dcn"), TrainConfig(batch_size=128, log_every=0))
+    state = t.init_state(next(iter(ArrayLoader(data, 128))))
+    repl = t._repl
+    for key in ("step", "rng"):
+        assert state[key].sharding == repl, (key, state[key].sharding)
+    for k, v in t.meters_init().items():
+        assert v.sharding == repl, (k, v.sharding)
