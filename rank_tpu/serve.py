@@ -83,6 +83,7 @@ class Predictor:
             task = "score"
             return {task: jax.nn.sigmoid(logits)}
 
+        self._apply_fn = apply_fn  # raw (unjitted) — used by export
         self._apply = jax.jit(apply_fn)
 
     def __call__(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
@@ -102,3 +103,56 @@ class Predictor:
         padded["labels"] = jnp.zeros((b, len(self.schema.labels)), jnp.float32)
         out = self._apply(self.variables, padded)
         return {k: np.asarray(v)[:n] for k, v in out.items()}
+
+
+# -- portable serving artifacts (jax.export / StableHLO) -------------------
+
+
+def export_serving_artifact(
+    predictor: Predictor, path: str, batch_size: int = 256
+) -> None:
+    """Serialize the predictor to a self-contained StableHLO artifact.
+
+    The TPU-native analog of DIEN's ``BestExporter`` SavedModel export
+    (``dien.py:398-405``, the reference's only serving artifact): the best
+    checkpoint's weights are baked into the program as constants, the
+    batch shape is fixed at ``batch_size``, and the result round-trips
+    through ``jax.export`` serialization — loadable by any JAX runtime of
+    the same platform family without the model code or checkpoint.
+    """
+    from jax import export as jexport
+
+    from .data.synthetic import make_synthetic_dataset
+
+    variables = predictor.variables
+
+    def serve_fn(batch):
+        return predictor._apply_fn(variables, batch)
+
+    sample = make_synthetic_dataset(predictor.schema, num_rows=1, seed=0)
+    spec = {}
+    for k, v in sample.items():
+        if k in ("labels", "_valid"):
+            continue
+        spec[k] = jax.ShapeDtypeStruct((batch_size,) + v.shape[1:], v.dtype)
+    spec["labels"] = jax.ShapeDtypeStruct(
+        (batch_size, len(predictor.schema.labels)), jnp.float32
+    )
+    exported = jexport.export(jax.jit(serve_fn))(spec)
+    with open(path, "wb") as f:
+        f.write(exported.serialize())
+
+
+def load_serving_artifact(path: str):
+    """Load a ``export_serving_artifact`` file; returns ``fn(batch)->probs``
+    (fixed batch size; caller pads like ``Predictor.__call__``)."""
+    from jax import export as jexport
+
+    with open(path, "rb") as f:
+        exported = jexport.deserialize(f.read())
+
+    def fn(batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        out = exported.call({k: jnp.asarray(v) for k, v in batch.items()})
+        return {k: np.asarray(v) for k, v in out.items()}
+
+    return fn

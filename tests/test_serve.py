@@ -48,3 +48,46 @@ def test_predictor_odd_batch_sizes(tmp_path):
         out = pred(req)["score"]
         assert out.shape == (n,)
         assert np.all((out >= 0) & (out <= 1))
+
+
+def test_stablehlo_export_roundtrip(tmp_path):
+    """export_serving_artifact -> load_serving_artifact must reproduce the
+    Predictor's probabilities exactly (weights baked as constants)."""
+    import numpy as np
+
+    from rank_tpu.data.synthetic import make_synthetic_dataset
+    from rank_tpu.features import tiny_schema
+    from rank_tpu.models import default_config
+    from rank_tpu.serve import (
+        Predictor, export_serving_artifact, load_serving_artifact,
+    )
+
+    schema = tiny_schema(vocab=64, hist_len=4)
+    cfg = default_config("dcn").replace(
+        hidden_units=(16, 8), embedding_dim=4, num_cross_layers=2
+    )
+    import flax.linen as nn
+    import jax
+    from rank_tpu.models import build_model
+
+    model = build_model(schema, cfg)
+    sample = make_synthetic_dataset(schema, num_rows=8, seed=0)
+    variables = nn.meta.unbox(
+        model.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            {k: v for k, v in sample.items()},
+            train=False,
+        )
+    )
+    pred = Predictor(schema, cfg, variables=variables, min_bucket=8)
+    path = str(tmp_path / "serving.stablehlo")
+    export_serving_artifact(pred, path, batch_size=8)
+
+    want = pred(sample)
+    fn = load_serving_artifact(path)
+    batch = {k: v for k, v in sample.items() if k not in ("labels", "_valid")}
+    batch["labels"] = np.zeros((8, len(schema.labels)), np.float32)
+    got = fn(batch)
+    assert set(got) == set(want)
+    for k in want:
+        np.testing.assert_allclose(got[k], want[k], rtol=1e-6, atol=1e-7)
