@@ -7,6 +7,7 @@ see README.md and PARITY.md for the component map.
 
 from .features import WECHAT_SCHEMA, FeatureSchema, tiny_schema
 from .models import ModelConfig, build_model, default_config
+from .serve import Predictor, export_serving_artifact, load_serving_artifact
 
 __version__ = "0.1.0"
 
@@ -17,5 +18,8 @@ __all__ = [
     "ModelConfig",
     "build_model",
     "default_config",
+    "Predictor",
+    "export_serving_artifact",
+    "load_serving_artifact",
     "__version__",
 ]
