@@ -56,7 +56,8 @@ def bench_jax(model_name: str) -> float:
 
     for i in range(JAX_WARMUP):
         state, meters = step_fn(state, meters, batches[i % 4])
-    jax.block_until_ready(meters["loss"])
+    float(meters["loss"])  # true fence: block_until_ready does not wait
+    # for still-queued dispatches on this backend (see REPRODUCING.md §5)
 
     # median of 3 timed repeats — throughput through the shared tunnel is
     # noisy, and a transiently-degraded window shouldn't define the number
@@ -65,7 +66,7 @@ def bench_jax(model_name: str) -> float:
         t0 = time.perf_counter()
         for i in range(JAX_STEPS):
             state, meters = step_fn(state, meters, batches[i % 4])
-        jax.block_until_ready(meters["loss"])
+        float(meters["loss"])  # honest end-of-window fence
         times.append(time.perf_counter() - t0)
     dt = sorted(times)[1]
     return BATCH_JAX * JAX_STEPS / dt

@@ -47,11 +47,11 @@ def measure(n_devices: int, per_device_batch: int, steps: int, model: str):
     meters = trainer.meters_init()
     for i in range(3):
         state, meters = step_fn(state, meters, batches[i % 4])
-    jax.block_until_ready(meters["loss"])
+    float(meters["loss"])  # true fence (block_until_ready may not wait here)
     t0 = time.perf_counter()
     for i in range(steps):
         state, meters = step_fn(state, meters, batches[i % 4])
-    jax.block_until_ready(meters["loss"])
+    float(meters["loss"])  # true fence (block_until_ready may not wait here)
     dt = time.perf_counter() - t0
     return batch * steps / dt
 

@@ -1,32 +1,37 @@
 """Device-resident epochs: the whole dataset staged in HBM once; each
-train step gathers its minibatch on device.
+epoch shuffles it on device; each train step slices its minibatch.
 
-Rationale (measured on the v5e chip):
+Rationale (measured on the v5e chip, batch 4096):
   * the naive streaming loop pays a synchronous host->device batch upload
-    per step (~230 ms/step at batch 4096 through this environment's
-    tunnel) — 400x the step's compute (~0.6 ms);
+    per step (~230 ms/step through this environment's tunnel) — >1000x
+    the step's compute;
   * a whole-epoch ``lax.scan`` removes dispatches but the carried
     train-state is NOT aliased in-place across while-loop iterations on
-    this backend: a carry-only scan costs ~27 ms/step in pure state
-    copies (measured), and the full step ~210 ms/step;
-  * the winning layout: stage the dataset in HBM (WeChat train split is
-    ~1.3 GB vs 16 GB HBM), keep the dispatched python-loop step (donated
-    state, in-place update, 0.6 ms), and per step ship only a scalar step
-    index — the permutation lives on device too
-    (``jax.random.permutation`` once per epoch).
+    this backend (~27 ms/step in pure state copies);
+  * per-step RANDOM-ROW GATHERS (``jnp.take`` of 4096 permuted rows per
+    column per step) are row-rate-bound on TPU: ~8M gathered rows/s
+    regardless of row width, and a 12-column batch gathers 12x the rows.
+    A DIN epoch spent ~95% of its time gathering (measured 0.55M ex/s
+    vs 77M ex/s step compute);
+  * the winning layout: PACK every column into one int32 matrix at
+    staging (f32 columns bitcast, not converted), per epoch do ONE
+    row-permutation gather of the packed matrix (each row gathered once,
+    ~N rows instead of steps x batch x columns), then every step takes a
+    contiguous ``dynamic_slice`` and unpacks with static slices +
+    bitcasts — all free under XLA fusion. Several steps are unrolled into
+    one jitted dispatch to amortise the tunnel round trip.
 
-Shuffling is a fresh on-device permutation per epoch, matching the
-reference DataLoader(shuffle=True) semantics (deepfm.py:222-227).
+Shuffling semantics match the reference DataLoader(shuffle=True)
+(deepfm.py:222-227): a fresh uniform row permutation every epoch.
 
-Multi-device note: under a >1-device 'data' axis the permuted gather
-crosses shard boundaries and GSPMD inserts collectives; single-chip (the
-bench hardware) and replicated meshes run collective-free. The streaming
-path remains for multi-host input sharding.
+Multi-device note: under a >1-device 'data' axis the epoch permutation
+gather crosses shard boundaries and GSPMD inserts collectives; the
+streaming path remains for multi-host input sharding.
 """
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -34,9 +39,11 @@ import numpy as np
 
 from . import metrics as M
 
+# column spec: (key, start, width, dtype, trailing_shape)
+_Spec = Tuple[str, int, int, np.dtype, Tuple[int, ...]]
 
-def stage(trainer, data: Dict[str, np.ndarray], batch_size: int):
-    """Pad rows to a batch multiple, add the validity mask, upload once."""
+
+def _pad_rows(data: Dict[str, np.ndarray], batch_size: int):
     n = next(iter(data.values())).shape[0]
     steps = -(-n // batch_size)
     padded_n = steps * batch_size
@@ -49,7 +56,53 @@ def stage(trainer, data: Dict[str, np.ndarray], batch_size: int):
     valid = np.zeros((padded_n,), np.float32)
     valid[:n] = 1.0
     out["_valid"] = valid
-    return trainer._host_to_device(out), steps
+    return out, steps
+
+
+def pack_columns(data: Dict[str, np.ndarray]):
+    """Concatenate every column into one (N, W) int32 matrix.
+
+    float32 columns are BITCAST (``view``), preserving exact values on
+    unpack. Returns (packed, specs)."""
+    n = next(iter(data.values())).shape[0]
+    cols: List[np.ndarray] = []
+    specs: List[_Spec] = []
+    start = 0
+    for k in sorted(data):
+        v = data[k]
+        flat = v.reshape(n, -1)
+        if v.dtype == np.float32:
+            flat = flat.view(np.int32)
+        elif v.dtype in (np.int64, np.uint64):
+            flat = flat.astype(np.int32)
+        elif v.dtype != np.int32:
+            flat = flat.astype(np.int32)  # small ints widen losslessly
+        specs.append((k, start, flat.shape[1], v.dtype, v.shape[1:]))
+        cols.append(flat)
+        start += flat.shape[1]
+    return np.concatenate(cols, axis=1), specs
+
+
+def unpack_columns(packed: jnp.ndarray, specs: List[_Spec]):
+    """(B, W) int32 -> feature dict; static slices + bitcasts, fusion-free."""
+    out = {}
+    b = packed.shape[0]
+    for k, start, width, dtype, trailing in specs:
+        col = jax.lax.slice_in_dim(packed, start, start + width, axis=1)
+        if dtype == np.float32:
+            col = jax.lax.bitcast_convert_type(col, jnp.float32)
+        elif np.dtype(dtype) != np.int32:
+            col = col.astype(dtype)
+        out[k] = col.reshape((b,) + tuple(trailing))
+    return out
+
+
+def stage(trainer, data: Dict[str, np.ndarray], batch_size: int):
+    """Pad rows to a batch multiple, add the validity mask, pack, upload
+    once. Returns (packed device array, specs, steps)."""
+    padded, steps = _pad_rows(data, batch_size)
+    packed, specs = pack_columns(padded)
+    return trainer._host_to_device(packed), specs, steps
 
 
 class StagedRunner:
@@ -57,9 +110,8 @@ class StagedRunner:
 
     ``steps_per_dispatch`` unrolls several train steps into one jitted
     program (a python loop inside jit, NOT lax.scan — within a single
-    program XLA aliases the state updates in place, avoiding the
-    while-loop carry copies documented above) to amortise the dispatch
-    round-trip through the tunnel.
+    program XLA aliases the state updates in place) to amortise the
+    dispatch round trip through the tunnel.
     """
 
     def __init__(
@@ -73,14 +125,22 @@ class StagedRunner:
         self.trainer = trainer
         self.batch_size = batch_size
         self.steps_per_dispatch = max(1, steps_per_dispatch)
-        self.train_staged, self.train_steps = stage(trainer, train_data, batch_size)
-        self.eval_staged, self.eval_steps = stage(trainer, eval_data, batch_size)
+        self.train_staged, self.train_specs, self.train_steps = stage(
+            trainer, train_data, batch_size
+        )
+        self.eval_staged, self.eval_specs, self.eval_steps = stage(
+            trainer, eval_data, batch_size
+        )
         self._fns_built = False
-        self._eval_labels = np.asarray(jax.device_get(self.eval_staged["labels"]))
-        self._eval_valid = np.asarray(jax.device_get(self.eval_staged["_valid"]))
+        padded_eval, _ = _pad_rows(eval_data, batch_size)
+        self._eval_labels = padded_eval["labels"]
+        self._eval_valid = padded_eval["_valid"]
 
     def init_state(self):
-        sample = {k: v[: self.batch_size] for k, v in self.train_staged.items()}
+        sample = unpack_columns(
+            jax.device_get(self.train_staged[: self.batch_size]),
+            self.train_specs,
+        )
         return self.trainer.init_state(jax.device_get(sample))
 
     # -- jitted pieces (need state shardings -> built after init_state) --
@@ -102,20 +162,21 @@ class StagedRunner:
         self.steps_per_dispatch = spd
 
         def make_train_fn(n_unrolled):
-            def train_steps(state, meters, data, perm, i0):
-                # unrolled python loop: one program, n sequential steps
+            def train_steps(state, meters, shuffled, i0):
+                # unrolled python loop: one program, n sequential steps;
+                # contiguous slices of the pre-shuffled packed matrix
                 for k in range(n_unrolled):
-                    idx = jax.lax.dynamic_slice_in_dim(perm, (i0 + k) * bs, bs)
-                    batch = {
-                        kk: jnp.take(v, idx, axis=0) for kk, v in data.items()
-                    }
+                    rows = jax.lax.dynamic_slice_in_dim(
+                        shuffled, (i0 + k) * bs, bs, axis=0
+                    )
+                    batch = unpack_columns(rows, self.train_specs)
                     state, meters = tr._train_step(state, meters, batch)
                 return state, meters
 
             return jax.jit(
                 train_steps,
                 donate_argnums=(0, 1),
-                in_shardings=(tr._state_shardings, None, None, None, None),
+                in_shardings=(tr._state_shardings, None, None, None),
                 out_shardings=(tr._state_shardings, None),
             )
 
@@ -125,16 +186,20 @@ class StagedRunner:
         self._rem_steps = rem
 
         def eval_step(state, data, i):
-            idx = i * bs + jnp.arange(bs)
-            batch = {k: jnp.take(v, idx, axis=0) for k, v in data.items()}
+            rows = jax.lax.dynamic_slice_in_dim(data, i * bs, bs, axis=0)
+            batch = unpack_columns(rows, self.eval_specs)
             return tr._eval_step(state, batch)
 
         self._eval_step = jax.jit(
             eval_step, in_shardings=(tr._state_shardings, None, None)
         )
         n = self.train_steps * bs
-        self._perm_fn = jax.jit(
-            lambda seed: jax.random.permutation(jax.random.PRNGKey(seed), n)
+        # one row gather per epoch over the packed matrix: each row moves
+        # once (the gather row-rate is the scarce resource, see module doc)
+        self._shuffle_fn = jax.jit(
+            lambda data, seed: jnp.take(
+                data, jax.random.permutation(jax.random.PRNGKey(seed), n), axis=0
+            )
         )
         self._fns_built = True
 
@@ -144,22 +209,23 @@ class StagedRunner:
         import time
 
         self._build()
-        perm = self._perm_fn(seed + epoch)
         meters = self.trainer.meters_init()
         spd = self.steps_per_dispatch
         full_dispatches = self.train_steps // spd
         t0 = time.time()
+        shuffled = self._shuffle_fn(self.train_staged, seed + epoch)
         for d in range(full_dispatches):
             state, meters = self._train_step(
-                state, meters, self.train_staged, perm, d * spd
+                state, meters, shuffled, d * spd
             )
         if self._train_step_rem is not None:
             state, meters = self._train_step_rem(
-                state, meters, self.train_staged, perm, full_dispatches * spd
+                state, meters, shuffled, full_dispatches * spd
             )
-        jax.block_until_ready(meters)
-        dt = time.time() - t0
+        # a true value fetch is the timing fence: block_until_ready does
+        # not wait for still-queued dispatches on this backend
         count = float(meters["count"])
+        dt = time.time() - t0
         out = {
             "loss": float(meters["loss"]) / self.train_steps,
             "accuracy": float(meters["correct"]) / max(count, 1),

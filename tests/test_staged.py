@@ -72,3 +72,27 @@ def test_fresh_meters_and_state_scalars_are_mesh_committed():
         assert state[key].sharding == repl, (key, state[key].sharding)
     for k, v in t.meters_init().items():
         assert v.sharding == repl, (k, v.sharding)
+
+
+def test_pack_unpack_roundtrip():
+    """pack_columns -> unpack_columns must reproduce every column exactly
+    (f32 via bitcast, ints via widening)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rank_tpu.train.staged import pack_columns, unpack_columns
+
+    rng = np.random.default_rng(0)
+    data = {
+        "dense": rng.normal(size=(17, 5)).astype(np.float32),
+        "ids": rng.integers(0, 1000, size=(17,)).astype(np.int32),
+        "seq": rng.integers(0, 1000, size=(17, 6)).astype(np.int32),
+        "labels": (rng.random((17, 3)) < 0.3).astype(np.float32),
+        "small": rng.integers(0, 100, size=(17,)).astype(np.int16),
+    }
+    packed, specs = pack_columns(data)
+    assert packed.dtype == np.int32
+    out = unpack_columns(jnp.asarray(packed), specs)
+    for k, v in data.items():
+        assert out[k].dtype == v.dtype, k
+        np.testing.assert_array_equal(np.asarray(out[k]), v, err_msg=k)
