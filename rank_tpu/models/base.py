@@ -63,6 +63,10 @@ class ModelConfig:
     num_heads: int = 2
     num_transformer_blocks: int = 2
     pooling_method: str = "mean"  # sum | mean
+    # block-internal activation dtype; bfloat16 halves the lane-padding-
+    # bound HBM traffic at d=16 (see ops/transformer.py), LN/softmax stay
+    # f32. Set "float32" for bit-exact reference-style numerics.
+    transformer_dtype: str = "bfloat16"
     # xDeepFM
     cin_layer_sizes: Tuple[int, ...] = (128, 128)
     # FiBiNet

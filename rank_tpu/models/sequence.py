@@ -92,10 +92,11 @@ class BST(RankModel):
                 num_heads=cfg.num_heads,
                 max_len=t,
                 dropout_rate=cfg.dropout_rate,
+                compute_dtype=cfg.transformer_dtype,
                 name=f"transformer_{i}",
             )(h, valid, train=train)
 
-        h = h * valid[..., None].astype(h.dtype)
+        h = h.astype(jnp.float32) * valid[..., None].astype(jnp.float32)
         if cfg.pooling_method == "sum":
             pooled = jnp.sum(h, axis=1)
         else:  # mean over valid positions
