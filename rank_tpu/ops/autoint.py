@@ -22,17 +22,25 @@ import jax.numpy as jnp
 class AutoIntLayer(nn.Module):
     num_heads: int = 2
     att_dim: int = 32  # per-head dim d' (paper default 32)
+    # same bandwidth argument as the BST block (lane padding at small
+    # minor dims); softmax stays f32
+    compute_dtype: str = "bfloat16"
 
     @nn.compact
     def __call__(self, e: jnp.ndarray) -> jnp.ndarray:
         """e: (B, F, D_in) -> (B, F, num_heads * att_dim)."""
         b, f, _ = e.shape
         h, da = self.num_heads, self.att_dim
-        q = nn.DenseGeneral((h, da), use_bias=False, name="w_q")(e)  # (B,F,h,d')
-        k = nn.DenseGeneral((h, da), use_bias=False, name="w_k")(e)
-        v = nn.DenseGeneral((h, da), use_bias=False, name="w_v")(e)
-        scores = jnp.einsum("bfhd,bghd->bhfg", q, k)  # inner product, unscaled
-        weights = jax.nn.softmax(scores, axis=-1)
-        out = jnp.einsum("bhfg,bghd->bfhd", weights, v).reshape(b, f, h * da)
-        res = nn.Dense(h * da, use_bias=False, name="w_res")(e)
-        return nn.relu(out + res)
+        cdt = jnp.dtype(self.compute_dtype)
+        ec = e.astype(cdt)
+        dg = lambda name: nn.DenseGeneral((h, da), use_bias=False, name=name, dtype=cdt)
+        q = dg("w_q")(ec)  # (B,F,h,d')
+        k = dg("w_k")(ec)
+        v = dg("w_v")(ec)
+        scores = jnp.einsum("bfhd,bghd->bhfg", q, k).astype(jnp.float32)
+        weights = jax.nn.softmax(scores, axis=-1)  # unscaled, per the paper
+        out = jnp.einsum(
+            "bhfg,bghd->bfhd", weights.astype(cdt), v
+        ).reshape(b, f, h * da)
+        res = nn.Dense(h * da, use_bias=False, name="w_res", dtype=cdt)(ec)
+        return nn.relu(out + res).astype(jnp.float32)
