@@ -252,7 +252,50 @@ def _torch_models():
             x = torch.cat([dense] + embs + [q, pooled], dim=1)
             return self.dnn(x).squeeze(1)
 
-    return {"dcn": TorchDCN, "bst": TorchBST, "din": TorchDIN}
+    class TorchMMOE(nn.Module):
+        """rank_tpu's MMOE mirrored in torch (MMOE is README-only in the
+        reference, README.md:41 — no code): shared input = [dense | 6
+        field embs | target feedid emb], 4 shared experts (256,128 ReLU),
+        per-task softmax gates, (64,) ReLU towers; tasks
+        read_comment / like / click_avatar. Scalar tag embedding
+        (mirrors multihot_tags=False)."""
+
+        def __init__(self, n_tasks=3, n_experts=4):
+            super().__init__()
+            self.emb = nn.ModuleDict(
+                {k: nn.Embedding(VOCABS[k], d) for k, d in EMB_DIMS.items()}
+            )
+            self.feed_emb = nn.Embedding(VOCABS["feedid"], 16)
+            d0 = 16 + sum(EMB_DIMS.values()) + 16
+            self.experts = nn.ModuleList([
+                nn.Sequential(nn.Linear(d0, 256), nn.ReLU(),
+                              nn.Linear(256, 128), nn.ReLU())
+                for _ in range(n_experts)
+            ])
+            self.gates = nn.ModuleList(
+                [nn.Linear(d0, n_experts) for _ in range(n_tasks)]
+            )
+            self.towers = nn.ModuleList([
+                nn.Sequential(nn.Linear(128, 64), nn.ReLU(), nn.Linear(64, 1))
+                for _ in range(n_tasks)
+            ])
+
+        def forward(self, dense, cats, target):
+            import torch
+            import torch.nn.functional as F
+
+            embs = [self.emb[k](cats[k]) for k in EMB_DIMS]
+            x0 = torch.cat([dense] + embs + [self.feed_emb(target)], dim=1)
+            ex = torch.stack([e(x0) for e in self.experts], dim=1)  # (B,E,H)
+            outs = []
+            for gate, tower in zip(self.gates, self.towers):
+                g = F.softmax(gate(x0), dim=-1)  # (B,E)
+                mixed = torch.einsum("be,beh->bh", g, ex)
+                outs.append(tower(mixed).squeeze(1))
+            return torch.stack(outs, dim=1)  # (B, T_tasks)
+
+    return {"dcn": TorchDCN, "bst": TorchBST, "din": TorchDIN,
+            "mmoe": TorchMMOE}
 
 
 def bench_torch(model_name: str) -> float:

@@ -14,7 +14,9 @@ Covers two model families:
     last position; exercises seq embedding, masking, attention);
   * din — the Dice/target-attention path (reference din.py:225-323 with
     a registered attention MLP — the fair fixed form; exercises Dice BN
-    semantics, masked attention, act->BN tower ordering).
+    semantics, masked attention, act->BN tower ordering);
+  * mmoe — the multi-task path (README-only in the reference): shared
+    experts, per-task gates/towers, 3-task BCE; compares per-task AUCs.
 
 Usage: python scripts/parity_check.py [--model dcn|bst] [--rows 200000]
        [--epochs 3]
@@ -38,7 +40,7 @@ def train_ours(model_name, train_d, eval_d, epochs, batch):
     from rank_tpu.train.staged import StagedRunner
 
     cfg = default_config(model_name)
-    if model_name == "din":
+    if model_name in ("din", "mmoe"):
         # scalar tag embedding on both sides (apples-to-apples with the
         # torch mirror, which looks tags up as one id like the reference)
         cfg = cfg.replace(multihot_tags=False)
@@ -50,7 +52,10 @@ def train_ours(model_name, train_d, eval_d, epochs, batch):
     state = runner.init_state()
     for e in range(1, epochs + 1):
         state, _ = runner.train_epoch(state, e)
-    return runner.evaluate(state, epochs)["auc"]
+    stats = runner.evaluate(state, epochs)
+    if model_name == "mmoe":
+        print("rank_tpu task AUCs:", stats["task_aucs"])
+    return stats["auc"]
 
 
 def train_torch(model_name, train_d, eval_d, epochs, batch):
@@ -62,7 +67,10 @@ def train_torch(model_name, train_d, eval_d, epochs, batch):
     torch.manual_seed(42)
     model = _torch_models()[model_name]()
     is_bst = model_name == "bst"
-    is_din = model_name == "din" 
+    is_din = model_name == "din"
+    is_mmoe = model_name == "mmoe"
+    # label columns: read_comment / like / click_avatar (features.py order)
+    task_cols = [0, 2, 3]
     opt = torch.optim.Adam(model.parameters(), lr=0.005)
     crit = torch.nn.BCEWithLogitsLoss()
 
@@ -71,6 +79,12 @@ def train_torch(model_name, train_d, eval_d, epochs, batch):
         cats = {
             k: torch.tensor(d[k][idx], dtype=torch.long) for k in EMB_DIMS
         }
+        if is_mmoe:
+            y = torch.tensor(d["labels"][idx][:, task_cols])
+            return (
+                dense, cats,
+                torch.tensor(d["feedid"][idx], dtype=torch.long),
+            ), y
         y = torch.tensor(d["labels"][idx, 0])
         if is_din:
             return (
@@ -113,12 +127,19 @@ def train_torch(model_name, train_d, eval_d, epochs, batch):
             args_t, y = to_t(eval_d, idx)
             preds.append(torch.sigmoid(model(*args_t)).numpy())
             ys.append(y.numpy())
-    return roc_auc_score(np.concatenate(ys), np.concatenate(preds))
+    p = np.concatenate(preds)
+    y = np.concatenate(ys)
+    if is_mmoe:
+        tasks = ("read_comment", "like", "click_avatar")
+        aucs = {t: roc_auc_score(y[:, i], p[:, i]) for i, t in enumerate(tasks)}
+        print("torch task AUCs:", aucs)
+        return aucs["read_comment"]
+    return roc_auc_score(y, p)
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--model", default="dcn", choices=("dcn", "bst", "din"))
+    ap.add_argument("--model", default="dcn", choices=("dcn", "bst", "din", "mmoe"))
     ap.add_argument("--rows", type=int, default=200_000)
     ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--batch", type=int, default=1024)

@@ -76,3 +76,17 @@ def test_cli_end_to_end_synthetic(tmp_path):
     assert rc == 0
     assert os.path.exists(tmp_path / "o" / "predictions.csv")
     assert os.path.exists(tmp_path / "m" / "best_model")
+
+
+def test_new_flags_map_to_configs():
+    from rank_tpu.cli import build_parser, model_config_from_args
+
+    args = build_parser().parse_args([
+        "--model=mmoe", "--task_weighting=gradnorm", "--gradnorm_alpha=0.5",
+        "--gradnorm_lr=0.01", "--matmul_precision=highest", "--synthetic=8",
+    ])
+    cfg = model_config_from_args(args)
+    assert cfg.task_weighting == "gradnorm"
+    assert cfg.gradnorm_alpha == 0.5
+    assert cfg.gradnorm_lr == 0.01
+    assert args.matmul_precision == "highest"
