@@ -25,6 +25,7 @@ from typing import Dict, Mapping, Optional
 
 import numpy as np
 
+from .. import native
 from ..features import (
     FeatureSchema,
     load_vocabulary,
@@ -41,15 +42,48 @@ def load_vocab_indices(schema: FeatureSchema, vocab_dir: str) -> Dict[str, Dict[
     return out
 
 
-def _encode_tokens(series, index: Mapping[str, int]) -> np.ndarray:
+def _native_vocab(index: Mapping[str, int]):
+    """Native mirror of a ``vocab_index`` dict (insertion order == row-1),
+    or None when the C++ library is unavailable/disabled or a token would
+    desynchronise the newline protocol."""
+    if not native.available():
+        return None
+    tokens = list(index.keys())
+    if any("\n" in t for t in tokens):
+        return None
+    return native.Vocab(tokens)
+
+
+def _encode_tokens(series, index: Mapping[str, int], nvocab=None) -> np.ndarray:
     """Vectorised token -> id with OOV/missing -> 0."""
+    if nvocab is not None:
+        try:
+            return nvocab.encode_tokens(list(series))
+        except ValueError:  # newline inside a value: fall back
+            pass
     return np.asarray(
         [index.get(tok, 0) if isinstance(tok, str) else 0 for tok in series],
         np.int32,
     )
 
 
-def _encode_seq(series, index: Mapping[str, int], max_len: int):
+def _seq_to_str(item) -> str:
+    if isinstance(item, str):
+        return item
+    if isinstance(item, (list, np.ndarray)) and len(item):
+        toks = list(item)
+        if any(not isinstance(t, str) or not t or "," in t for t in toks):
+            raise ValueError("list row not representable as comma-joined str")
+        return ",".join(toks)
+    return ""
+
+
+def _encode_seq(series, index: Mapping[str, int], max_len: int, nvocab=None):
+    if nvocab is not None:
+        try:
+            return nvocab.encode_seq([_seq_to_str(i) for i in series], max_len)
+        except ValueError:  # desync or unrepresentable row: numpy fallback
+            pass
     n = len(series)
     ids = np.zeros((n, max_len), np.int32)
     lengths = np.zeros((n,), np.int32)
@@ -76,6 +110,7 @@ def encode_dataframe(
     """pandas DataFrame (ETL output parquet) -> loader-ready arrays."""
     if vocab_indices is None:
         vocab_indices = load_vocab_indices(schema, vocab_dir)
+    nvocabs = {name: _native_vocab(idx) for name, idx in vocab_indices.items()}
     out: Dict[str, np.ndarray] = {}
 
     dense_cols = []
@@ -97,15 +132,17 @@ def encode_dataframe(
                 (s.split(",")[0] if isinstance(s, str) and s else None)
                 for s in tag_series
             ]
-            out[f.name] = _encode_tokens(first, vocab_indices[f.name])
+            out[f.name] = _encode_tokens(first, vocab_indices[f.name], nvocabs[f.name])
         else:
             series = df[f.name] if f.name in df.columns else [None] * len(df)
-            out[f.name] = _encode_tokens(series, vocab_indices[f.name])
+            out[f.name] = _encode_tokens(series, vocab_indices[f.name], nvocabs[f.name])
 
     for f in schema.sequence:
         source = "manual_tag_list" if f.name == "manual_tag_seq" else f.name
         series = df[source] if source in df.columns else [""] * len(df)
-        ids, lengths = _encode_seq(series, vocab_indices[f.name], f.max_len)
+        ids, lengths = _encode_seq(
+            series, vocab_indices[f.name], f.max_len, nvocabs[f.name]
+        )
         out[f.name] = ids
         out[f.length_name] = lengths
 

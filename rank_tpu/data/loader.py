@@ -20,6 +20,8 @@ from typing import Dict, Iterator, Optional
 
 import numpy as np
 
+from .. import native
+
 Batch = Dict[str, np.ndarray]
 
 
@@ -69,15 +71,16 @@ class ArrayLoader:
             self._rng.shuffle(order)
         bs = self.batch_size
         num_full = self.n // bs
+        take = native.take_rows  # threaded memcpy gather (numpy if no lib)
         for i in range(num_full):
             idx = order[i * bs : (i + 1) * bs]
-            batch = {k: v[idx] for k, v in self.data.items()}
+            batch = {k: take(v, idx) for k, v in self.data.items()}
             batch["_valid"] = np.ones((bs,), np.float32)
             yield batch
         rem = self.n - num_full * bs
         if rem and not self.drop_remainder:
             idx = np.concatenate([order[num_full * bs :], np.zeros(bs - rem, np.int64)])
-            batch = {k: v[idx] for k, v in self.data.items()}
+            batch = {k: take(v, idx) for k, v in self.data.items()}
             valid = np.zeros((bs,), np.float32)
             valid[:rem] = 1.0
             batch["_valid"] = valid
