@@ -34,6 +34,14 @@ class BSTTransformerBlock(nn.Module):
     # (measured: 15.2 -> 9.5 ms/block fwd+bwd at B=8192, T=51).
     # Softmax and LayerNorms stay in float32.
     compute_dtype: str = "bfloat16"
+    # attention formulation: 'vpu' computes scores/context as
+    # broadcast-multiply + reduce (VPU work) instead of per-(batch, head)
+    # batched matmuls — at T=51, d_head=8 the einsum form issues B*h tiny
+    # (51x8)@(8x51) MXU ops at <1% utilisation and is issue-rate-bound
+    # (measured: vpu 8.7 vs einsum 10.1 ms/block fwd+bwd at B=8192,
+    # bit-identical loss; scripts/bench_bst_variants.py). 'einsum' keeps
+    # the classic batched-matmul form (better for d_head >= 128).
+    attn_impl: str = "vpu"
 
     @nn.compact
     def __call__(
@@ -56,17 +64,35 @@ class BSTTransformerBlock(nn.Module):
         values = x.astype(cdt)  # positions on Q/K only (bst.py:70-71)
 
         dense = lambda name: nn.Dense(d, name=name, dtype=cdt)
-        q = dense("w_q")(queries).reshape(b, t, h, dh).transpose(0, 2, 1, 3)
-        k = dense("w_k")(keys).reshape(b, t, h, dh).transpose(0, 2, 1, 3)
-        v = dense("w_v")(values).reshape(b, t, h, dh).transpose(0, 2, 1, 3)
+        q = dense("w_q")(queries)
+        k = dense("w_k")(keys)
+        v = dense("w_v")(values)
+        inv_sqrt_dh = 1.0 / jnp.sqrt(jnp.asarray(dh, jnp.float32))
 
-        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(
-            jnp.float32
-        ) / jnp.sqrt(jnp.asarray(dh, jnp.float32))
-        mask = key_valid[:, None, None, :]  # broadcast over heads & queries
-        weights = masked_softmax(scores, jnp.broadcast_to(mask, scores.shape))
-        context = jnp.einsum("bhqk,bhkd->bhqd", weights.astype(cdt), v)
-        context = context.transpose(0, 2, 1, 3).reshape(b, t, d)
+        if self.attn_impl == "vpu":
+            mask2 = key_valid[:, None, :]  # (B, 1, T) over queries
+            ctxs = []
+            for hh in range(h):
+                sl = slice(hh * dh, (hh + 1) * dh)
+                sc = jnp.sum(
+                    q[:, :, None, sl] * k[:, None, :, sl], axis=-1
+                ).astype(jnp.float32) * inv_sqrt_dh
+                w = masked_softmax(sc, jnp.broadcast_to(mask2, sc.shape))
+                ctxs.append(
+                    jnp.sum(w.astype(cdt)[..., None] * v[:, None, :, sl], axis=2)
+                )
+            context = jnp.concatenate(ctxs, axis=-1)
+        else:
+            q4 = q.reshape(b, t, h, dh).transpose(0, 2, 1, 3)
+            k4 = k.reshape(b, t, h, dh).transpose(0, 2, 1, 3)
+            v4 = v.reshape(b, t, h, dh).transpose(0, 2, 1, 3)
+            scores = jnp.einsum("bhqd,bhkd->bhqk", q4, k4).astype(
+                jnp.float32
+            ) * inv_sqrt_dh
+            mask = key_valid[:, None, None, :]  # broadcast over heads & queries
+            weights = masked_softmax(scores, jnp.broadcast_to(mask, scores.shape))
+            context = jnp.einsum("bhqk,bhkd->bhqd", weights.astype(cdt), v4)
+            context = context.transpose(0, 2, 1, 3).reshape(b, t, d)
 
         out = dense("w_o")(context)
         out = nn.Dropout(self.dropout_rate, deterministic=not train)(out)

@@ -285,6 +285,20 @@ class TestTransformer:
             np.asarray(o1)[:, :3], np.asarray(o2)[:, :3], rtol=1e-4, atol=1e-4
         )
 
+    def test_vpu_matches_einsum_formulation(self):
+        # same params, both attention formulations -> same outputs
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.normal(size=(3, 6, 8)), jnp.float32)
+        valid = jnp.asarray(np.array([[1, 1, 1, 0, 0, 0], [1] * 6, [0] * 6], bool))
+        vpu = ops.BSTTransformerBlock(d_model=8, num_heads=2, max_len=7, attn_impl="vpu")
+        ein = ops.BSTTransformerBlock(d_model=8, num_heads=2, max_len=7, attn_impl="einsum")
+        v = _init(vpu, x, valid)
+        np.testing.assert_allclose(
+            np.asarray(vpu.apply(v, x, valid)),
+            np.asarray(ein.apply(v, x, valid)),
+            rtol=2e-2, atol=2e-2,  # bf16 internals; reductions ordered differently
+        )
+
 
 class TestProduct:
     def test_inner(self):
