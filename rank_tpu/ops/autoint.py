@@ -25,6 +25,11 @@ class AutoIntLayer(nn.Module):
     # same bandwidth argument as the BST block (lane padding at small
     # minor dims); softmax stays f32
     compute_dtype: str = "bfloat16"
+    # 'vpu': scores/context as broadcast-multiply + reduce instead of B*h
+    # tiny (F x d')@(d' x F) batched matmuls, which are MXU issue-rate
+    # bound at F~23, d'=32 (same finding as the BST block,
+    # scripts/bench_bst_variants.py). 'einsum' keeps the matmul form.
+    attn_impl: str = "vpu"
 
     @nn.compact
     def __call__(self, e: jnp.ndarray) -> jnp.ndarray:
@@ -37,10 +42,22 @@ class AutoIntLayer(nn.Module):
         q = dg("w_q")(ec)  # (B,F,h,d')
         k = dg("w_k")(ec)
         v = dg("w_v")(ec)
-        scores = jnp.einsum("bfhd,bghd->bhfg", q, k).astype(jnp.float32)
-        weights = jax.nn.softmax(scores, axis=-1)  # unscaled, per the paper
-        out = jnp.einsum(
-            "bhfg,bghd->bfhd", weights.astype(cdt), v
-        ).reshape(b, f, h * da)
+        if self.attn_impl == "vpu":
+            outs = []
+            for hh in range(h):
+                sc = jnp.sum(
+                    q[:, :, None, hh, :] * k[:, None, :, hh, :], axis=-1
+                ).astype(jnp.float32)
+                w = jax.nn.softmax(sc, axis=-1)  # unscaled, per the paper
+                outs.append(
+                    jnp.sum(w.astype(cdt)[..., None] * v[:, None, :, hh, :], axis=2)
+                )
+            out = jnp.concatenate(outs, axis=-1)
+        else:
+            scores = jnp.einsum("bfhd,bghd->bhfg", q, k).astype(jnp.float32)
+            weights = jax.nn.softmax(scores, axis=-1)  # unscaled, per the paper
+            out = jnp.einsum(
+                "bhfg,bghd->bfhd", weights.astype(cdt), v
+            ).reshape(b, f, h * da)
         res = nn.Dense(h * da, use_bias=False, name="w_res", dtype=cdt)(ec)
         return nn.relu(out + res).astype(jnp.float32)

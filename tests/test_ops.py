@@ -285,6 +285,20 @@ class TestTransformer:
             np.asarray(o1)[:, :3], np.asarray(o2)[:, :3], rtol=1e-4, atol=1e-4
         )
 
+    def test_autoint_vpu_matches_einsum_formulation(self):
+        from rank_tpu.ops.autoint import AutoIntLayer
+
+        rng = np.random.default_rng(3)
+        e = jnp.asarray(rng.normal(size=(4, 5, 6)), jnp.float32)
+        vpu = AutoIntLayer(num_heads=2, att_dim=4, attn_impl="vpu")
+        ein = AutoIntLayer(num_heads=2, att_dim=4, attn_impl="einsum")
+        v = _init(vpu, e)
+        np.testing.assert_allclose(
+            np.asarray(vpu.apply(v, e)),
+            np.asarray(ein.apply(v, e)),
+            rtol=2e-2, atol=2e-2,  # bf16 internals; reduction order differs
+        )
+
     def test_vpu_matches_einsum_formulation(self):
         # same params, both attention formulations -> same outputs
         rng = np.random.default_rng(2)
