@@ -86,9 +86,54 @@ EMB_DIMS = {
 }
 
 
+FM_FIELDS = ("userid", "feedid", "device", "authorid", "bgm_song_id",
+             "bgm_singer_id")
+
+
 def _torch_models():
     import torch
     import torch.nn as nn
+
+    class TorchDeepFM(nn.Module):
+        """Reference DeepFM structure (deepfm.py:73-151): 6 categorical
+        fields only — no dense features; its low published AUC is a
+        feature-subset property (deepfm.py:42-44) — dual dim-1/dim-16
+        tables, FM first+second order, deep tower Linear->BN->ReLU->
+        Dropout (deepfm.py:100-110), learned 3->1 fusion
+        (deepfm.py:112,148-151). Mirrors rank_tpu models/fm_family.py
+        DeepFM for the apples-to-apples quality head-to-head."""
+
+        def __init__(self, d=16):
+            super().__init__()
+            self.first = nn.ModuleDict(
+                {k: nn.Embedding(VOCABS[k], 1) for k in FM_FIELDS}
+            )
+            self.second = nn.ModuleDict(
+                {k: nn.Embedding(VOCABS[k], d) for k in FM_FIELDS}
+            )
+            layers, dim = [], d * len(FM_FIELDS)
+            for h in (512, 256, 128):
+                layers += [
+                    nn.Linear(dim, h), nn.BatchNorm1d(h),
+                    nn.ReLU(), nn.Dropout(0.1),
+                ]
+                dim = h
+            self.dnn = nn.Sequential(*layers)
+            self.deep_out = nn.Linear(dim, 1)
+            self.final = nn.Linear(3, 1)
+
+        def forward(self, cats):
+            import torch
+
+            fo = torch.cat([self.first[k](cats[k]) for k in FM_FIELDS], dim=1)
+            fm1 = fo.sum(1, keepdim=True)
+            embs = torch.stack(
+                [self.second[k](cats[k]) for k in FM_FIELDS], dim=1
+            )  # (B, F, D)
+            s = embs.sum(1)
+            fm2 = 0.5 * (s.square() - embs.square().sum(1)).sum(-1, keepdim=True)
+            deep = self.deep_out(self.dnn(embs.reshape(embs.shape[0], -1)))
+            return self.final(torch.cat([fm1, fm2, deep], dim=1)).squeeze(1)
 
     class TorchDCN(nn.Module):
         """Reference DCN structure (dcn.py:114-180) with *registered* cross
@@ -295,7 +340,7 @@ def _torch_models():
             return torch.stack(outs, dim=1)  # (B, T_tasks)
 
     return {"dcn": TorchDCN, "bst": TorchBST, "din": TorchDIN,
-            "mmoe": TorchMMOE}
+            "mmoe": TorchMMOE, "deepfm": TorchDeepFM}
 
 
 def bench_torch(model_name: str) -> float:

@@ -16,7 +16,10 @@ Covers two model families:
     a registered attention MLP — the fair fixed form; exercises Dice BN
     semantics, masked attention, act->BN tower ordering);
   * mmoe — the multi-task path (README-only in the reference): shared
-    experts, per-task gates/towers, 3-task BCE; compares per-task AUCs.
+    experts, per-task gates/towers, 3-task BCE; compares per-task AUCs;
+  * deepfm — the minimum end-to-end slice (SURVEY §7; reference
+    deepfm.py:73-151): categorical-only features, dual dim-1/dim-16
+    tables, FM1+FM2+deep with learned 3->1 fusion.
 
 Usage: python scripts/parity_check.py [--model dcn|bst] [--rows 200000]
        [--epochs 3]
@@ -62,19 +65,26 @@ def train_torch(model_name, train_d, eval_d, epochs, batch):
     import torch
     from sklearn.metrics import roc_auc_score
 
-    from bench import EMB_DIMS, _torch_models
+    from bench import EMB_DIMS, FM_FIELDS, _torch_models
 
     torch.manual_seed(42)
     model = _torch_models()[model_name]()
     is_bst = model_name == "bst"
     is_din = model_name == "din"
     is_mmoe = model_name == "mmoe"
+    is_deepfm = model_name == "deepfm"
     # label columns: read_comment / like / click_avatar (features.py order)
     task_cols = [0, 2, 3]
     opt = torch.optim.Adam(model.parameters(), lr=0.005)
     crit = torch.nn.BCEWithLogitsLoss()
 
     def to_t(d, idx):
+        if is_deepfm:  # categorical-only, incl. feedid as a plain field
+            cats = {
+                k: torch.tensor(d[k][idx], dtype=torch.long)
+                for k in FM_FIELDS
+            }
+            return (cats,), torch.tensor(d["labels"][idx, 0])
         dense = torch.tensor(d["dense"][idx])
         cats = {
             k: torch.tensor(d[k][idx], dtype=torch.long) for k in EMB_DIMS
@@ -139,7 +149,10 @@ def train_torch(model_name, train_d, eval_d, epochs, batch):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--model", default="dcn", choices=("dcn", "bst", "din", "mmoe"))
+    ap.add_argument(
+        "--model", default="dcn",
+        choices=("dcn", "bst", "din", "mmoe", "deepfm"),
+    )
     ap.add_argument("--rows", type=int, default=200_000)
     ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--batch", type=int, default=1024)
