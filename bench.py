@@ -339,8 +339,309 @@ def _torch_models():
                 outs.append(tower(mixed).squeeze(1))
             return torch.stack(outs, dim=1)  # (B, T_tasks)
 
+    AFM_FIELDS = FM_FIELDS + ("manual_tag_list",)
+
+    class TorchDeepCrossing(nn.Module):
+        """Reference DeepCrossing structure (deepcrossing.py:106-163) with
+        REGISTERED residual units (the reference recreates nn.Linear per
+        forward, deepcrossing.py:37-39, so they never train — this is the
+        fair fixed form matching rank_tpu's ResidualStack): x0 = [dense |
+        per-field embs], N x ReLU(x + W2 ReLU(W1 x)), Linear(1)."""
+
+        def __init__(self, internal=256, n_units=2):
+            super().__init__()
+            self.emb = nn.ModuleDict(
+                {k: nn.Embedding(VOCABS[k], d) for k, d in EMB_DIMS.items()}
+            )
+            d0 = 16 + sum(EMB_DIMS.values())
+            self.units = nn.ModuleList([
+                nn.ModuleDict({
+                    "w1": nn.Linear(d0, internal), "w2": nn.Linear(internal, d0),
+                }) for _ in range(n_units)
+            ])
+            self.out = nn.Linear(d0, 1)
+
+        def forward(self, dense, cats):
+            import torch
+            import torch.nn.functional as F
+
+            embs = [self.emb[k](cats[k]) for k in EMB_DIMS]
+            x = torch.cat([dense] + embs, dim=1)
+            for u in self.units:
+                x = F.relu(x + u["w2"](F.relu(u["w1"](x))))
+            return self.out(x).squeeze(1)
+
+    class TorchAFM(nn.Module):
+        """Reference AFM structure (afm.py:64-119): dense linear + dim-32
+        embeddings over 7 fields (incl. scalar manual_tag lookup,
+        afm.py:132-134), pairwise hadamard products, MLP attention
+        Linear(d,af)->ReLU->Linear(af,1), softmax over the 21 pairs,
+        weighted sum, projection p. Mirrors rank_tpu models/fm_family.AFM."""
+
+        def __init__(self, d=32, af=64):
+            super().__init__()
+            self.emb = nn.ModuleDict(
+                {k: nn.Embedding(VOCABS[k], d) for k in AFM_FIELDS}
+            )
+            self.dense_layer = nn.Linear(16, 1)
+            self.att1 = nn.Linear(d, af)
+            self.att2 = nn.Linear(af, 1)
+            self.p = nn.Linear(d, 1)
+            f = len(AFM_FIELDS)
+            idx_i, idx_j = [], []
+            for i in range(f):
+                for j in range(i + 1, f):
+                    idx_i.append(i)
+                    idx_j.append(j)
+            self.idx_i, self.idx_j = idx_i, idx_j
+
+        def forward(self, dense, cats):
+            import torch
+            import torch.nn.functional as F
+
+            embs = torch.stack(
+                [self.emb[k](cats[k]) for k in AFM_FIELDS], dim=1
+            )  # (B, F, D)
+            pairs = embs[:, self.idx_i] * embs[:, self.idx_j]  # (B, P, D)
+            scores = self.att2(F.relu(self.att1(pairs)))  # (B, P, 1)
+            weights = F.softmax(scores, dim=1)
+            pooled = (pairs * weights).sum(1)  # (B, D)
+            return (self.dense_layer(dense) + self.p(pooled)).squeeze(1)
+
+    class TorchXDeepFM(nn.Module):
+        """xDeepFM (README-only, README.md:26; Lian et al. 2018) mirroring
+        rank_tpu models/cross_family.XDeepFM: 7 uniform dim-16 fields,
+        linear (dim-1 tables + dense Linear), CIN (128,128) with
+        split-half, deep tower with BN+dropout; logit = sum of three."""
+
+        def __init__(self, d=16, cin_sizes=(128, 128)):
+            super().__init__()
+            self.emb = nn.ModuleDict(
+                {k: nn.Embedding(VOCABS[k], d) for k in AFM_FIELDS}
+            )
+            self.lin = nn.ModuleDict(
+                {k: nn.Embedding(VOCABS[k], 1) for k in AFM_FIELDS}
+            )
+            self.linear_dense = nn.Linear(16, 1)
+            f = len(AFM_FIELDS)
+            self.cin_w = nn.ParameterList()
+            hk = f
+            n_maps = 0
+            self.cin_sizes = cin_sizes
+            for li, size in enumerate(cin_sizes):
+                self.cin_w.append(
+                    nn.Parameter(torch.empty(size, hk, f))
+                )
+                nn.init.xavier_uniform_(self.cin_w[-1])
+                last = li == len(cin_sizes) - 1
+                n_maps += size if last else size // 2
+                hk = size if last else size // 2
+            self.cin_out = nn.Linear(n_maps, 1)
+            layers, dim = [], 16 + d * f
+            for h in (512, 256, 128):
+                layers += [
+                    nn.Linear(dim, h), nn.BatchNorm1d(h),
+                    nn.ReLU(), nn.Dropout(0.1),
+                ]
+                dim = h
+            self.dnn = nn.Sequential(*layers)
+            self.deep_out = nn.Linear(dim, 1)
+
+        def forward(self, dense, cats):
+            import torch
+
+            embs = torch.stack(
+                [self.emb[k](cats[k]) for k in AFM_FIELDS], dim=1
+            )  # (B, F, D)
+            lin = sum(self.lin[k](cats[k]) for k in AFM_FIELDS)
+            lin = lin + self.linear_dense(dense)
+            x0, xk, pooled = embs, embs, []
+            for li, w in enumerate(self.cin_w):
+                z = torch.einsum("bhd,bfd->bhfd", xk, x0)
+                xnext = torch.einsum("bhfd,ohf->bod", z, w)
+                if li < len(self.cin_w) - 1:
+                    next_in, direct = torch.split(
+                        xnext, xnext.shape[1] // 2, dim=1
+                    )
+                else:
+                    next_in, direct = xnext, xnext
+                pooled.append(direct.sum(-1))
+                xk = next_in
+            cin_logit = self.cin_out(torch.cat(pooled, dim=1))
+            deep_in = torch.cat([dense, embs.reshape(embs.shape[0], -1)], dim=1)
+            deep_logit = self.deep_out(self.dnn(deep_in))
+            return (lin + cin_logit + deep_logit).squeeze(1)
+
+    class TorchDIEN(nn.Module):
+        """DIEN mirroring rank_tpu models/sequence.DIEN and the reference
+        semantics (dien.py:166-353, custom_grucell.py:94-167): GRU over
+        history (fused-gate form h' = (1-u)h + uc), bilinear attention
+        score_t = h_t . (W e_target) with masked softmax (dien.py:205-218),
+        AUGRU second pass (u' = a*u), final state + target + field embs
+        into a PReLU tower (act->BN order). Padded steps carry state
+        through; outputs at padded steps are zero (rnn.py sequence_length
+        semantics)."""
+
+        def __init__(self, h_dim=16):
+            super().__init__()
+            self.emb = nn.ModuleDict(
+                {k: nn.Embedding(VOCABS[k], d) for k, d in EMB_DIMS.items()}
+            )
+            self.feed_emb = nn.Embedding(VOCABS["feedid"], 16)
+            self.h_dim = h_dim
+
+            def make_cell(d_in):
+                cell = nn.ModuleDict({
+                    "gates": nn.Linear(d_in + h_dim, 2 * h_dim),
+                    "cand": nn.Linear(d_in + h_dim, h_dim),
+                })
+                return cell
+
+            self.gru = make_cell(16)
+            self.augru = make_cell(h_dim)
+            self.att_w = nn.Parameter(torch.empty(16, h_dim))
+            nn.init.xavier_normal_(self.att_w)
+            d = 16 + sum(EMB_DIMS.values()) + 16 + h_dim
+            layers = []
+            for h in (512, 256, 128):
+                layers += [
+                    nn.Linear(d, h), nn.PReLU(),
+                    nn.BatchNorm1d(h), nn.Dropout(0.1),
+                ]
+                d = h
+            layers.append(nn.Linear(d, 1))
+            self.dnn = nn.Sequential(*layers)
+
+        def _rnn(self, cell, xs, valid, att=None):
+            """xs (B,T,D); valid (B,T) bool; att (B,T) or None (AUGRU vs
+            GRU). Returns (outputs (B,T,H), final (B,H))."""
+            import torch
+
+            b, t, _ = xs.shape
+            h = xs.new_zeros(b, self.h_dim)
+            outs = []
+            for i in range(t):
+                x_t = xs[:, i]
+                g = torch.sigmoid(cell["gates"](torch.cat([x_t, h], dim=1)))
+                u, r = g.chunk(2, dim=1)
+                c = torch.tanh(cell["cand"](torch.cat([x_t, r * h], dim=1)))
+                if att is not None:
+                    u = att[:, i : i + 1] * u
+                h_new = (1.0 - u) * h + u * c
+                v = valid[:, i : i + 1].float()
+                h = v * h_new + (1.0 - v) * h
+                outs.append(h * v)
+            return torch.stack(outs, dim=1), h
+
+        def forward(self, dense, cats, target, seq, lengths):
+            import torch
+            import torch.nn.functional as F
+
+            b, t = seq.shape
+            valid = torch.arange(t)[None, :] < lengths[:, None]
+            q = self.feed_emb(target)
+            keys = self.feed_emb(seq)
+            gru_outs, _ = self._rnn(self.gru, keys, valid)
+            scores = torch.einsum("bth,bh->bt", gru_outs, q @ self.att_w)
+            scores = scores.masked_fill(~valid, -1e9)
+            att = F.softmax(scores, dim=1)
+            # fully-masked rows: uniform-softmax garbage is harmless — the
+            # AUGRU carries h=0 through when valid is all-false
+            _, final = self._rnn(self.augru, gru_outs, valid, att)
+            embs = [self.emb[k](cats[k]) for k in EMB_DIMS]
+            x = torch.cat([dense] + embs + [q, final], dim=1)
+            return self.dnn(x).squeeze(1)
+
+    class TorchPLE(nn.Module):
+        """PLE (README-only, README.md:42; Tang et al. RecSys'20) mirroring
+        rank_tpu models/multitask.PLE: 2 CGC levels, 2 task-specific + 2
+        shared experts (256,128 ReLU), per-selector softmax gates, (64,)
+        towers; input = [dense | field embs | target feedid emb]."""
+
+        def __init__(self, n_tasks=3, levels=2, spec=2, shared=2):
+            super().__init__()
+            self.emb = nn.ModuleDict(
+                {k: nn.Embedding(VOCABS[k], d) for k, d in EMB_DIMS.items()}
+            )
+            self.feed_emb = nn.Embedding(VOCABS["feedid"], 16)
+            self.n_tasks, self.levels = n_tasks, levels
+            self.spec, self.shared = spec, shared
+            d0 = 16 + sum(EMB_DIMS.values()) + 16
+            h_out = 128
+
+            def expert(d_in):
+                return nn.Sequential(nn.Linear(d_in, 256), nn.ReLU(),
+                                     nn.Linear(256, h_out), nn.ReLU())
+
+            self.experts = nn.ModuleList()
+            self.gates = nn.ModuleList()
+            for level in range(levels):
+                d_in = d0 if level == 0 else h_out
+                per_level = nn.ModuleDict()
+                per_level["task"] = nn.ModuleList([
+                    nn.ModuleList([expert(d_in) for _ in range(spec)])
+                    for _ in range(n_tasks)
+                ])
+                per_level["shared"] = nn.ModuleList(
+                    [expert(d_in) for _ in range(shared)]
+                )
+                self.experts.append(per_level)
+                g = nn.ModuleDict()
+                g["task"] = nn.ModuleList([
+                    nn.Linear(d_in, spec + shared) for _ in range(n_tasks)
+                ])
+                if level < levels - 1:
+                    g["shared"] = nn.Linear(d_in, n_tasks * spec + shared)
+                self.gates.append(g)
+            self.towers = nn.ModuleList([
+                nn.Sequential(nn.Linear(h_out, 64), nn.ReLU(), nn.Linear(64, 1))
+                for _ in range(n_tasks)
+            ])
+
+        def forward(self, dense, cats, target):
+            import torch
+            import torch.nn.functional as F
+
+            embs = [self.emb[k](cats[k]) for k in EMB_DIMS]
+            x0 = torch.cat([dense] + embs + [self.feed_emb(target)], dim=1)
+            inputs = [x0] * (self.n_tasks + 1)
+            for level in range(self.levels):
+                last = level == self.levels - 1
+                task_ex = [
+                    torch.stack([e(inputs[ti]) for e in
+                                 self.experts[level]["task"][ti]], dim=1)
+                    for ti in range(self.n_tasks)
+                ]
+                shared_ex = torch.stack(
+                    [e(inputs[-1]) for e in self.experts[level]["shared"]],
+                    dim=1,
+                )
+                new_inputs = []
+                for ti in range(self.n_tasks):
+                    pool = torch.cat([task_ex[ti], shared_ex], dim=1)
+                    g = F.softmax(
+                        self.gates[level]["task"][ti](inputs[ti]), dim=-1
+                    )
+                    new_inputs.append(torch.einsum("be,beh->bh", g, pool))
+                if not last:
+                    pool = torch.cat(task_ex + [shared_ex], dim=1)
+                    g = F.softmax(
+                        self.gates[level]["shared"](inputs[-1]), dim=-1
+                    )
+                    new_inputs.append(torch.einsum("be,beh->bh", g, pool))
+                else:
+                    new_inputs.append(new_inputs[-1])
+                inputs = new_inputs
+            outs = [
+                tower(inputs[ti]).squeeze(1)
+                for ti, tower in enumerate(self.towers)
+            ]
+            return torch.stack(outs, dim=1)  # (B, n_tasks)
+
     return {"dcn": TorchDCN, "bst": TorchBST, "din": TorchDIN,
-            "mmoe": TorchMMOE, "deepfm": TorchDeepFM}
+            "mmoe": TorchMMOE, "deepfm": TorchDeepFM,
+            "deepcrossing": TorchDeepCrossing, "afm": TorchAFM,
+            "xdeepfm": TorchXDeepFM, "dien": TorchDIEN, "ple": TorchPLE}
 
 
 def bench_torch(model_name: str) -> float:
@@ -361,7 +662,7 @@ def bench_torch(model_name: str) -> float:
     if model_name == "dcn":
         model = TorchDCN()
         args = (dense, cats)
-    else:
+    elif model_name == "bst":
         seq = torch.tensor(
             rng.integers(0, VOCABS["feedid"], size=(b, HIST_LEN + 1)),
             dtype=torch.long,
@@ -371,6 +672,14 @@ def bench_torch(model_name: str) -> float:
         )
         model = TorchBST()
         args = (dense, cats, seq, lengths)
+    else:
+        # explicit dispatch only: silently benchmarking the wrong mirror
+        # would corrupt the vs_baseline number (ADVICE r1)
+        raise ValueError(
+            f"bench_torch has no input builder for {model_name!r}; "
+            "supported: dcn, bst (quality mirrors for other models live in "
+            "scripts/parity_check.py)"
+        )
     model.train()
     opt = torch.optim.Adam(model.parameters(), lr=0.005)
     crit = torch.nn.BCEWithLogitsLoss()

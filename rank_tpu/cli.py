@@ -80,6 +80,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--autoint_att_dim", type=int, default=None)
     # parallelism / performance
     p.add_argument("--table_parallelism", type=int, default=1)
+    p.add_argument("--embedding_mode", type=str, default=None,
+                   choices=("gspmd", "psum", "alltoall"),
+                   help="embedding lookup schedule on a table-sharded "
+                   "mesh: gspmd (XLA-inserted collectives, default) or "
+                   "the explicit shard_map schedules psum/alltoall")
     p.add_argument("--label", type=str, default="read_comment")
     p.add_argument("--profile_dir", type=str, default=None)
     p.add_argument("--gradient_clip_norm", type=float, default=0.0)
@@ -119,6 +124,7 @@ _CFG_MAP = {
     "autoint_layers": int,
     "autoint_heads": int,
     "autoint_att_dim": int,
+    "embedding_mode": str,
 }
 
 
@@ -281,11 +287,12 @@ def main(argv=None) -> int:
     primary = "ctr" if "ctr" in stats["predictions"] else next(iter(trainer.label_cols))
     preds = stats["predictions"][primary]
     mask = stats["valid"] > 0
-    label_col = trainer.label_cols.get(
-        primary, trainer.label_cols[model_cfg.tasks[0]]
-        if model_cfg.name in ("esmm",)
-        else 0,
-    )
+    if primary in trainer.label_cols:
+        label_col = trainer.label_cols[primary]
+    else:
+        # ESMM's primary head is "ctr", which predicts the first task's
+        # label (models/multitask.py); its name is not a label column.
+        label_col = trainer.label_cols[model_cfg.tasks[0]]
     path = export_predictions(
         args.output_dir,
         stats["labels"][mask, label_col],

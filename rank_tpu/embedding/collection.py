@@ -23,12 +23,24 @@ path lives in ``rank_tpu.embedding.sharded``.
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import Dict, Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
+from jax.sharding import Mesh
 
 from ..features import FeatureSchema
+
+
+def table_specs(schema: FeatureSchema) -> Dict[str, Tuple[int, int]]:
+    """name -> (vocab_size, emb_dim) for each OWNED table (shared-table
+    features resolve to their owner)."""
+    specs: Dict[str, Tuple[int, int]] = {}
+    for f in list(schema.categorical) + list(schema.sequence):
+        owner = f.shares_table_with or f.name
+        if owner == f.name:
+            specs[f.name] = (f.vocab_size, f.emb_dim)
+    return specs
 
 # torch nn.Embedding default init is N(0, 1); that is what the reference
 # models train with (fwfm re-inits xavier, fwfm.py:103-104) and it is the
@@ -43,27 +55,31 @@ INITIALIZERS = {
 
 
 class EmbeddingCollection(nn.Module):
-    """Owns one table per (non-shared) categorical/sequence feature."""
+    """Owns one table per (non-shared) categorical/sequence feature.
+
+    ``mode`` selects the lookup communication schedule on a table-sharded
+    mesh (SURVEY.md §5 all-to-all ID-exchange pattern):
+      * 'gspmd' (default): plain ``jnp.take``; XLA/GSPMD inserts the
+        collectives from the P('table', None) param annotation.
+      * 'psum' / 'alltoall': the EXPLICIT shard_map schedules from
+        ``embedding.sharded`` — applied only to tables named in
+        ``sharded`` (the ones the Trainer actually row-shards); the rest
+        fall back to the plain gather.
+    """
 
     schema: FeatureSchema
     init_name: str = "normal"
     # extra per-field tables with custom dims, e.g. DeepFM's dim-1
     # first-order tables: {"linear": 1} adds a parallel set of dim-1 tables.
     param_dtype: jnp.dtype = jnp.float32
-
-    def _table_specs(self) -> Dict[str, tuple]:
-        """name -> (vocab_size, emb_dim) for each owned table."""
-        specs: Dict[str, tuple] = {}
-        for f in list(self.schema.categorical) + list(self.schema.sequence):
-            owner = f.shares_table_with or f.name
-            if owner == f.name:
-                specs[f.name] = (f.vocab_size, f.emb_dim)
-        return specs
+    mode: str = "gspmd"
+    mesh: Optional[Mesh] = None
+    sharded: Tuple[str, ...] = ()
 
     def setup(self):
         init = INITIALIZERS[self.init_name]
         tables = {}
-        for name, (vocab, dim) in self._table_specs().items():
+        for name, (vocab, dim) in table_specs(self.schema).items():
             tables[name] = nn.Embed(
                 vocab,
                 dim,
@@ -81,7 +97,21 @@ class EmbeddingCollection(nn.Module):
 
     def lookup(self, name: str, ids: jnp.ndarray) -> jnp.ndarray:
         """ids (B,) or (B, T) -> embeddings (B, D) / (B, T, D)."""
-        return self._tables[self._owner(name)](ids)
+        owner = self._owner(name)
+        embed = self._tables[owner]
+        if (
+            self.mode == "gspmd"
+            or self.mesh is None
+            or owner not in self.sharded
+        ):
+            return embed(ids)
+        from .sharded import sharded_lookup
+
+        flat = ids.reshape(-1)
+        out = sharded_lookup(
+            embed.embedding, flat, self.mesh, mode=self.mode
+        )
+        return out.reshape(ids.shape + (out.shape[-1],))
 
     def __call__(self, name: str, ids: jnp.ndarray) -> jnp.ndarray:
         return self.lookup(name, ids)

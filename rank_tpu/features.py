@@ -133,6 +133,33 @@ class FeatureSchema:
         )
         return dataclasses.replace(self, categorical=cats, sequence=seqs)
 
+    def padded_for_table_sharding(
+        self, multiple: int, min_rows: int = 0
+    ) -> Tuple["FeatureSchema", Dict[str, Tuple[int, int]]]:
+        """Round vocab sizes up to a multiple of the table-mesh axis.
+
+        The real WeChat vocab sizes (+1 OOV row) are ODD for exactly the
+        tables that motivate row-sharding — feedid 106,445, userid 19,627,
+        bgm_singer_id 17,501 — so without padding a 2-way table axis would
+        silently replicate them (the GSPMD row-sharding picker requires
+        divisibility). Extra rows correspond to no real id: the encoders
+        never emit them, so they are gradient-dead and unreachable.
+
+        Tables below ``min_rows`` are left alone (they stay replicated
+        anyway). Returns (new_schema, {name: (old_rows, new_rows)}).
+        """
+        if multiple <= 1:
+            return self, {}
+        sizes: Dict[str, int] = {}
+        report: Dict[str, Tuple[int, int]] = {}
+        for f in list(self.categorical) + list(self.sequence):
+            v = f.vocab_size
+            if v >= min_rows and v % multiple:
+                vp = ((v + multiple - 1) // multiple) * multiple
+                sizes[f.name] = vp
+                report[f.name] = (v, vp)
+        return self.with_vocab_sizes(sizes), report
+
     def scaled(self, factor: float) -> "FeatureSchema":
         """Schema with vocab sizes scaled down — for tests/synthetic data."""
         cats = tuple(

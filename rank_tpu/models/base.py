@@ -114,6 +114,12 @@ class ModelConfig:
     multihot_tags: bool = True
     # sequence feature used by DIN/BST/DIEN
     seq_feature: str = "his_read_comment_7d_seq"
+    # embedding lookup schedule on a table-sharded mesh: 'gspmd' (XLA
+    # inserts collectives from the sharding annotations) or the explicit
+    # shard_map schedules 'psum' / 'alltoall' (embedding/sharded.py).
+    # Applies to the EmbeddingCollection path (tower/sequence/multitask
+    # models); FM-family uniform tables always use the gspmd path.
+    embedding_mode: str = "gspmd"
     # Pallas kernel dispatch: 'auto' currently resolves to 'jnp' (XLA's
     # fused path wins at the WeChat dims, see ops/pallas/din_attention.py);
     # pass 'pallas' explicitly for large-D configs.
@@ -125,10 +131,27 @@ class ModelConfig:
 
 class RankModel(nn.Module):
     """Base: every model takes the full batch and returns an output dict
-    {"logits": (B,) | {task: (B,)}, "aux_loss": scalar}."""
+    {"logits": (B,) | {task: (B,)}, "aux_loss": scalar}.
+
+    ``mesh``/``sharded_tables`` are supplied by the Trainer when the
+    explicit embedding schedules (cfg.embedding_mode != 'gspmd') are in
+    play: the mesh for shard_map, and the names of tables it actually
+    row-shards (the rest keep the plain gather)."""
 
     schema: FeatureSchema
     cfg: ModelConfig
+    mesh: object = None  # Optional[jax.sharding.Mesh]; static/hashable
+    sharded_tables: Tuple[str, ...] = ()
+
+    def embedding_collection(self, name: str = "tables") -> EmbeddingCollection:
+        return EmbeddingCollection(
+            self.schema,
+            self.cfg.embedding_init,
+            mode=self.cfg.embedding_mode,
+            mesh=self.mesh,
+            sharded=self.sharded_tables,
+            name=name,
+        )
 
     def dense_input(self, batch: Batch) -> jnp.ndarray:
         return batch["dense"]

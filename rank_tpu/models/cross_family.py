@@ -25,7 +25,7 @@ class DCN(RankModel):
     @nn.compact
     def __call__(self, batch: Batch, train: bool = False):
         cfg = self.cfg
-        coll = EmbeddingCollection(self.schema, cfg.embedding_init, name="tables")
+        coll = self.embedding_collection()
         field_embs = self.tower_field_embeddings(coll, batch)
         x0 = jnp.concatenate([self.dense_input(batch)] + field_embs, axis=-1)
         cross = ops.CrossNetwork(cfg.num_cross_layers, name="cross")(x0)
@@ -41,7 +41,7 @@ class DeepCrossing(RankModel):
     @nn.compact
     def __call__(self, batch: Batch, train: bool = False):
         cfg = self.cfg
-        coll = EmbeddingCollection(self.schema, cfg.embedding_init, name="tables")
+        coll = self.embedding_collection()
         field_embs = self.tower_field_embeddings(coll, batch)
         x0 = jnp.concatenate([self.dense_input(batch)] + field_embs, axis=-1)
         h = ops.ResidualStack(

@@ -144,7 +144,7 @@ class WideDeep(RankModel):
     @nn.compact
     def __call__(self, batch: Batch, train: bool = False):
         cfg = self.cfg
-        coll = EmbeddingCollection(self.schema, cfg.embedding_init, name="tables")
+        coll = self.embedding_collection()
         linear = self.uniform_tables(AFM_FIELDS, 1, "wide")
         wide = sum(linear[f](batch[f]) for f in AFM_FIELDS)
         wide = wide + nn.Dense(1, name="wide_dense")(self.dense_input(batch))

@@ -58,7 +58,7 @@ def _task_log_vars(model: RankModel) -> Dict[str, jnp.ndarray]:
 
 
 def _shared_input(model: RankModel, batch: Batch) -> jnp.ndarray:
-    coll = EmbeddingCollection(model.schema, model.cfg.embedding_init, name="tables")
+    coll = model.embedding_collection()
     field_embs = model.tower_field_embeddings(coll, batch)
     target = coll.lookup("feedid", batch["feedid"])
     return jnp.concatenate([model.dense_input(batch)] + field_embs + [target], axis=-1)

@@ -76,11 +76,21 @@ def default_config(name: str, **overrides) -> ModelConfig:
     return cfg.replace(**overrides) if overrides else cfg
 
 
-def build_model(schema: FeatureSchema, cfg: ModelConfig) -> RankModel:
+def build_model(
+    schema: FeatureSchema,
+    cfg: ModelConfig,
+    mesh=None,
+    sharded_tables=(),
+) -> RankModel:
+    """mesh/sharded_tables only matter for the explicit embedding
+    schedules (cfg.embedding_mode != 'gspmd'); the Trainer supplies them."""
     try:
         cls = MODEL_CLASSES[cfg.name]
     except KeyError:
         raise ValueError(
             f"unknown model {cfg.name!r}; available: {sorted(MODEL_CLASSES)}"
         ) from None
-    return cls(schema=schema, cfg=cfg)
+    return cls(
+        schema=schema, cfg=cfg, mesh=mesh,
+        sharded_tables=tuple(sharded_tables),
+    )

@@ -34,7 +34,7 @@ class DIN(RankModel):
     @nn.compact
     def __call__(self, batch: Batch, train: bool = False):
         cfg = self.cfg
-        coll = EmbeddingCollection(self.schema, cfg.embedding_init, name="tables")
+        coll = self.embedding_collection()
         field_embs = self.tower_field_embeddings(coll, batch)
 
         target_emb = coll.lookup("feedid", batch["feedid"])  # (B, 16)
@@ -73,7 +73,7 @@ class BST(RankModel):
     @nn.compact
     def __call__(self, batch: Batch, train: bool = False):
         cfg = self.cfg
-        coll = EmbeddingCollection(self.schema, cfg.embedding_init, name="tables")
+        coll = self.embedding_collection()
         field_embs = self.tower_field_embeddings(coll, batch)
 
         seq = batch[cfg.seq_feature]  # (B, T)
@@ -122,7 +122,7 @@ class DIEN(RankModel):
     @nn.compact
     def __call__(self, batch: Batch, train: bool = False):
         cfg = self.cfg
-        coll = EmbeddingCollection(self.schema, cfg.embedding_init, name="tables")
+        coll = self.embedding_collection()
         field_embs = self.tower_field_embeddings(coll, batch)
 
         target_emb = coll.lookup("feedid", batch["feedid"])

@@ -185,13 +185,15 @@ class StagedRunner:
         self._train_step_rem = make_train_fn(rem) if rem else None
         self._rem_steps = rem
 
-        def eval_step(state, data, i):
+        def eval_step(state, loss_acc, data, i):
             rows = jax.lax.dynamic_slice_in_dim(data, i * bs, bs, axis=0)
             batch = unpack_columns(rows, self.eval_specs)
-            return tr._eval_step(state, batch)
+            return tr._eval_step(state, loss_acc, batch)
 
         self._eval_step = jax.jit(
-            eval_step, in_shardings=(tr._state_shardings, None, None)
+            eval_step,
+            in_shardings=(tr._state_shardings, tr._repl, None, None),
+            donate_argnums=(1,),
         )
         n = self.train_steps * bs
         # one row gather per epoch over the packed matrix: each row moves
@@ -244,18 +246,17 @@ class StagedRunner:
 
     def evaluate(self, state, epoch: int = 1):
         self._build()
-        loss_sum = None
+        loss_acc = jax.device_put(jnp.zeros(()), self.trainer._repl)
         chunks: Dict[str, list] = {}
         for i in range(self.eval_steps):
-            loss, probs = self._eval_step(state, self.eval_staged, i)
-            loss_sum = loss if loss_sum is None else loss_sum + loss
+            loss_acc, probs = self._eval_step(state, loss_acc, self.eval_staged, i)
             for k, v in probs.items():
                 chunks.setdefault(k, []).append(v)
         preds = {
             k: np.asarray(jax.device_get(jnp.concatenate(v)))
             for k, v in chunks.items()
         }
-        loss = float(loss_sum) / self.eval_steps
+        loss = float(loss_acc) / self.eval_steps
         labels, valid = self._eval_labels, self._eval_valid
         trainer, cfg = self.trainer, self.trainer.model_cfg
         task_aucs = {}

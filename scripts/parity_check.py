@@ -6,7 +6,7 @@ best thing — that our TPU training pipeline reaches the same quality as a
 faithful PyTorch implementation of the reference architecture given
 identical data, arch, optimizer (Adam lr 0.005), batch size and epochs.
 
-Covers two model families:
+Covers these model families (torch mirrors in bench.py):
   * dcn — the dense+categorical tower path (reference dcn.py:114-180,
     with registered cross weights — the fair comparison);
   * bst — the behaviour-sequence transformer path (reference
@@ -15,25 +15,47 @@ Covers two model families:
   * din — the Dice/target-attention path (reference din.py:225-323 with
     a registered attention MLP — the fair fixed form; exercises Dice BN
     semantics, masked attention, act->BN tower ordering);
+  * dien — the double-RNN path (reference dien.py:166-353 +
+    custom_grucell.py:94-167): GRU -> bilinear attention -> AUGRU;
+    exercises the lax.scan recurrences and masked final-state semantics;
+  * deepcrossing — the residual-stack path (reference
+    deepcrossing.py:106-163 with registered units — the fair form);
+  * afm — the attention-pooled pairwise-interaction path (reference
+    afm.py:64-119);
+  * xdeepfm — the CIN path (README-only; Lian et al. 2018), exercising
+    the compressed-interaction einsums and split-half semantics;
   * mmoe — the multi-task path (README-only in the reference): shared
     experts, per-task gates/towers, 3-task BCE; compares per-task AUCs;
+  * ple — the progressive-layered-extraction multi-task path (README-only;
+    Tang et al. 2020): CGC levels, task-specific + shared experts;
   * deepfm — the minimum end-to-end slice (SURVEY §7; reference
     deepfm.py:73-151): categorical-only features, dual dim-1/dim-16
     tables, FM1+FM2+deep with learned 3->1 fusion.
 
-Usage: python scripts/parity_check.py [--model dcn|bst] [--rows 200000]
+Usage: python scripts/parity_check.py [--model dcn|bst|...] [--rows 200000]
        [--epochs 3]
 """
 
 import argparse
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, ".")  # bench.py lives at the repo root
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SEQ = "his_read_comment_7d_seq"
+
+MODELS = (
+    "dcn", "bst", "din", "dien", "deepcrossing", "afm", "xdeepfm",
+    "mmoe", "ple", "deepfm",
+)
+MULTI_TASK = ("mmoe", "ple")
+# models whose rank_tpu side must use the scalar tag lookup so the torch
+# mirror (which looks tags up as one id, like the reference) is
+# apples-to-apples
+SCALAR_TAG_MODELS = ("din", "mmoe", "deepcrossing", "ple", "dien")
 
 
 def train_ours(model_name, train_d, eval_d, epochs, batch):
@@ -43,9 +65,7 @@ def train_ours(model_name, train_d, eval_d, epochs, batch):
     from rank_tpu.train.staged import StagedRunner
 
     cfg = default_config(model_name)
-    if model_name in ("din", "mmoe"):
-        # scalar tag embedding on both sides (apples-to-apples with the
-        # torch mirror, which looks tags up as one id like the reference)
+    if model_name in SCALAR_TAG_MODELS:
         cfg = cfg.replace(multihot_tags=False)
     trainer = Trainer(
         WECHAT_SCHEMA, cfg,
@@ -56,65 +76,66 @@ def train_ours(model_name, train_d, eval_d, epochs, batch):
     for e in range(1, epochs + 1):
         state, _ = runner.train_epoch(state, e)
     stats = runner.evaluate(state, epochs)
-    if model_name == "mmoe":
-        print("rank_tpu task AUCs:", stats["task_aucs"])
+    if model_name in MULTI_TASK:
+        print(f"rank_tpu task AUCs: {stats['task_aucs']}")
     return stats["auc"]
+
+
+def _torch_args(model_name, d, idx):
+    """(args, labels) for one torch minibatch; explicit per-model dispatch
+    (no silent fallback)."""
+    import torch
+
+    from bench import EMB_DIMS, FM_FIELDS, _torch_models  # noqa: F401
+
+    AFM_FIELDS = FM_FIELDS + ("manual_tag_list",)
+    task_cols = [0, 2, 3]  # read_comment / like / click_avatar
+
+    if model_name == "deepfm":  # categorical-only, incl. feedid
+        cats = {
+            k: torch.tensor(d[k][idx], dtype=torch.long) for k in FM_FIELDS
+        }
+        return (cats,), torch.tensor(d["labels"][idx, 0])
+
+    dense = torch.tensor(d["dense"][idx])
+    y = torch.tensor(d["labels"][idx, 0])
+    if model_name in ("afm", "xdeepfm"):
+        cats = {
+            k: torch.tensor(d[k][idx], dtype=torch.long) for k in AFM_FIELDS
+        }
+        return (dense, cats), y
+    cats = {k: torch.tensor(d[k][idx], dtype=torch.long) for k in EMB_DIMS}
+    feedid = torch.tensor(d["feedid"][idx], dtype=torch.long)
+    seq = torch.tensor(d[SEQ][idx], dtype=torch.long)
+    lengths = torch.tensor(d[SEQ + "_length"][idx], dtype=torch.long)
+    if model_name in ("dcn", "deepcrossing"):
+        return (dense, cats), y
+    if model_name in ("din", "dien"):
+        return (dense, cats, feedid, seq, lengths), y
+    if model_name in ("mmoe", "ple"):
+        return (dense, cats, feedid), torch.tensor(
+            d["labels"][idx][:, task_cols]
+        )
+    if model_name == "bst":
+        # target feedid appended as the last sequence position, as in
+        # rank_tpu.models.sequence.BST
+        full = np.concatenate([d[SEQ][idx], d["feedid"][idx][:, None]], axis=1)
+        return (
+            dense, cats, torch.tensor(full, dtype=torch.long), lengths
+        ), y
+    raise ValueError(f"no torch arg builder for {model_name!r}")
 
 
 def train_torch(model_name, train_d, eval_d, epochs, batch):
     import torch
     from sklearn.metrics import roc_auc_score
 
-    from bench import EMB_DIMS, FM_FIELDS, _torch_models
+    from bench import _torch_models
 
     torch.manual_seed(42)
     model = _torch_models()[model_name]()
-    is_bst = model_name == "bst"
-    is_din = model_name == "din"
-    is_mmoe = model_name == "mmoe"
-    is_deepfm = model_name == "deepfm"
-    # label columns: read_comment / like / click_avatar (features.py order)
-    task_cols = [0, 2, 3]
     opt = torch.optim.Adam(model.parameters(), lr=0.005)
     crit = torch.nn.BCEWithLogitsLoss()
-
-    def to_t(d, idx):
-        if is_deepfm:  # categorical-only, incl. feedid as a plain field
-            cats = {
-                k: torch.tensor(d[k][idx], dtype=torch.long)
-                for k in FM_FIELDS
-            }
-            return (cats,), torch.tensor(d["labels"][idx, 0])
-        dense = torch.tensor(d["dense"][idx])
-        cats = {
-            k: torch.tensor(d[k][idx], dtype=torch.long) for k in EMB_DIMS
-        }
-        if is_mmoe:
-            y = torch.tensor(d["labels"][idx][:, task_cols])
-            return (
-                dense, cats,
-                torch.tensor(d["feedid"][idx], dtype=torch.long),
-            ), y
-        y = torch.tensor(d["labels"][idx, 0])
-        if is_din:
-            return (
-                dense, cats,
-                torch.tensor(d["feedid"][idx], dtype=torch.long),
-                torch.tensor(d[SEQ][idx], dtype=torch.long),
-                torch.tensor(d[SEQ + "_length"][idx], dtype=torch.long),
-            ), y
-        if not is_bst:
-            return (dense, cats), y
-        # target feedid appended as the last sequence position, as in
-        # rank_tpu.models.sequence.BST
-        seq = np.concatenate(
-            [d[SEQ][idx], d["feedid"][idx][:, None]], axis=1
-        )
-        return (
-            dense, cats,
-            torch.tensor(seq, dtype=torch.long),
-            torch.tensor(d[SEQ + "_length"][idx], dtype=torch.long),
-        ), y
 
     n = train_d["labels"].shape[0]
     rng = np.random.default_rng(0)
@@ -122,7 +143,7 @@ def train_torch(model_name, train_d, eval_d, epochs, batch):
     for e in range(epochs):
         order = rng.permutation(n)
         for i in range(0, n - batch + 1, batch):
-            args_t, y = to_t(train_d, order[i : i + batch])
+            args_t, y = _torch_args(model_name, train_d, order[i : i + batch])
             opt.zero_grad()
             loss = crit(model(*args_t), y)
             loss.backward()
@@ -134,28 +155,43 @@ def train_torch(model_name, train_d, eval_d, epochs, batch):
     with torch.no_grad():
         for i in range(0, ne, batch):
             idx = np.arange(i, min(i + batch, ne))
-            args_t, y = to_t(eval_d, idx)
+            args_t, y = _torch_args(model_name, eval_d, idx)
             preds.append(torch.sigmoid(model(*args_t)).numpy())
             ys.append(y.numpy())
     p = np.concatenate(preds)
     y = np.concatenate(ys)
-    if is_mmoe:
+    if model_name in MULTI_TASK:
         tasks = ("read_comment", "like", "click_avatar")
         aucs = {t: roc_auc_score(y[:, i], p[:, i]) for i, t in enumerate(tasks)}
-        print("torch task AUCs:", aucs)
+        print(f"torch task AUCs: {aucs}")
         return aucs["read_comment"]
     return roc_auc_score(y, p)
 
 
+def run_one(model, train_d, eval_d, epochs, batch):
+    t0 = time.time()
+    ours = train_ours(model, train_d, eval_d, epochs, batch)
+    t_ours = time.time() - t0
+    t0 = time.time()
+    torch_auc = train_torch(model, train_d, eval_d, epochs, batch)
+    t_torch = time.time() - t0
+    print(
+        f"\n{model.upper()} eval AUC — rank_tpu (TPU): {ours:.5f} in "
+        f"{t_ours:.0f}s | torch (CPU): {torch_auc:.5f} in {t_torch:.0f}s | "
+        f"delta {ours - torch_auc:+.5f}"
+    )
+    return {"model": model, "ours": ours, "torch": torch_auc,
+            "delta": ours - torch_auc, "t_ours": t_ours, "t_torch": t_torch}
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument(
-        "--model", default="dcn",
-        choices=("dcn", "bst", "din", "mmoe", "deepfm"),
-    )
+    ap.add_argument("--model", default="dcn", choices=MODELS + ("all",))
     ap.add_argument("--rows", type=int, default=200_000)
     ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--json_out", default=None,
+                    help="append one JSON line per model to this file")
     args = ap.parse_args()
 
     from rank_tpu.data.loader import split_train_test
@@ -165,17 +201,15 @@ def main():
     data = make_synthetic_dataset(WECHAT_SCHEMA, num_rows=args.rows, seed=0)
     train_d, eval_d = split_train_test(data, 0.15)
 
-    t0 = time.time()
-    ours = train_ours(args.model, train_d, eval_d, args.epochs, args.batch)
-    t_ours = time.time() - t0
-    t0 = time.time()
-    torch_auc = train_torch(args.model, train_d, eval_d, args.epochs, args.batch)
-    t_torch = time.time() - t0
-    print(
-        f"\n{args.model.upper()} eval AUC — rank_tpu (TPU): {ours:.5f} in "
-        f"{t_ours:.0f}s | torch (CPU): {torch_auc:.5f} in {t_torch:.0f}s | "
-        f"delta {ours - torch_auc:+.5f}"
-    )
+    names = MODELS if args.model == "all" else (args.model,)
+    results = [run_one(m, train_d, eval_d, args.epochs, args.batch)
+               for m in names]
+    if args.json_out:
+        import json
+
+        with open(args.json_out, "a") as f:
+            for r in results:
+                f.write(json.dumps(r) + "\n")
 
 
 if __name__ == "__main__":
