@@ -220,7 +220,10 @@ def main(argv=None) -> int:
         train_cfg.batch_size // jax.process_count(), jax.local_device_count()
     )
 
-    use_staged = args.device_resident and jax.process_count() == 1
+    # device-resident epochs work under multi-host too: each process
+    # stages its shard, the global packed matrix is assembled via
+    # make_array_from_process_local_data (train/staged.py)
+    use_staged = args.device_resident
     runner = None
     if use_staged:
         from .train.staged import StagedRunner

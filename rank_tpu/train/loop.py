@@ -493,14 +493,16 @@ class Trainer:
 
         return np.asarray(multihost_utils.process_allgather(x, tiled=tiled))
 
-    def _host_to_device(self, batch: Dict[str, np.ndarray]):
+    def _host_to_device(self, batch):
+        """Per-host batch dict (or a single per-host array, e.g. the
+        staged packed matrix) -> global P('data')-sharded device value."""
         if jax.process_count() > 1:
-            return {
-                k: jax.make_array_from_process_local_data(
-                    self._batch_sharding, v
-                )
-                for k, v in batch.items()
-            }
+            make = partial(
+                jax.make_array_from_process_local_data, self._batch_sharding
+            )
+            if isinstance(batch, dict):
+                return {k: make(v) for k, v in batch.items()}
+            return make(batch)
         return jax.device_put(batch, self._batch_sharding)
 
     # -- epochs -----------------------------------------------------------

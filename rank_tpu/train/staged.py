@@ -43,9 +43,14 @@ from . import metrics as M
 _Spec = Tuple[str, int, int, np.dtype, Tuple[int, ...]]
 
 
-def _pad_rows(data: Dict[str, np.ndarray], batch_size: int):
+def _pad_rows(data: Dict[str, np.ndarray], batch_size: int, steps=None):
+    """Pad to ``steps`` batches (default: just enough). Multi-host passes
+    an agreed global step count so every process stages the same number
+    of local rows (make_array_from_process_local_data needs uniform
+    per-process shards)."""
     n = next(iter(data.values())).shape[0]
-    steps = -(-n // batch_size)
+    if steps is None:
+        steps = -(-n // batch_size)
     padded_n = steps * batch_size
     out = {}
     for k, v in data.items():
@@ -97,12 +102,34 @@ def unpack_columns(packed: jnp.ndarray, specs: List[_Spec]):
     return out
 
 
+def _agreed_steps(n_local: int, batch_size: int) -> int:
+    """Per-host step count every process agrees on (max over hosts)."""
+    steps = -(-n_local // batch_size)
+    if jax.process_count() == 1:
+        return steps
+    from jax.experimental import multihost_utils
+
+    all_steps = np.asarray(
+        multihost_utils.process_allgather(np.asarray([steps]), tiled=True)
+    )
+    return int(all_steps.max())
+
+
 def stage(trainer, data: Dict[str, np.ndarray], batch_size: int):
     """Pad rows to a batch multiple, add the validity mask, pack, upload
-    once. Returns (packed device array, specs, steps)."""
-    padded, steps = _pad_rows(data, batch_size)
+    once. ``batch_size`` is PER-HOST; under multi-host every process
+    stages its local shard and the global P('data')-sharded matrix is
+    assembled via make_array_from_process_local_data (trainer
+    ._host_to_device). Returns (packed device array, specs, steps) where
+    steps counts GLOBAL batches of batch_size * process_count rows."""
+    steps = _agreed_steps(num_rows_of(data), batch_size)
+    padded, steps = _pad_rows(data, batch_size, steps)
     packed, specs = pack_columns(padded)
     return trainer._host_to_device(packed), specs, steps
+
+
+def num_rows_of(data: Dict[str, np.ndarray]) -> int:
+    return next(iter(data.values())).shape[0]
 
 
 class StagedRunner:
@@ -123,7 +150,9 @@ class StagedRunner:
         steps_per_dispatch: int = 8,
     ):
         self.trainer = trainer
-        self.batch_size = batch_size
+        self.batch_size = batch_size  # per-host rows per step
+        # each jitted step slices one GLOBAL batch (all hosts' rows)
+        self.global_bs = batch_size * jax.process_count()
         self.steps_per_dispatch = max(1, steps_per_dispatch)
         self.train_staged, self.train_specs, self.train_steps = stage(
             trainer, train_data, batch_size
@@ -132,16 +161,27 @@ class StagedRunner:
             trainer, eval_data, batch_size
         )
         self._fns_built = False
-        padded_eval, _ = _pad_rows(eval_data, batch_size)
+        # host-side PER-HOST sample for init_state (the staged global
+        # array is not addressable under multi-host); packed+unpacked so
+        # dtypes match the unpacked training batches exactly
+        train_padded, _ = _pad_rows(
+            train_data, batch_size,
+            _agreed_steps(num_rows_of(train_data), batch_size),
+        )
+        sample_packed, _ = pack_columns(
+            {k: v[:batch_size] for k, v in train_padded.items()}
+        )
+        self._sample_rows = sample_packed
+        eval_steps = _agreed_steps(num_rows_of(eval_data), batch_size)
+        padded_eval, _ = _pad_rows(eval_data, batch_size, eval_steps)
         self._eval_labels = padded_eval["labels"]
         self._eval_valid = padded_eval["_valid"]
 
     def init_state(self):
-        sample = unpack_columns(
-            jax.device_get(self.train_staged[: self.batch_size]),
-            self.train_specs,
+        sample = jax.device_get(
+            unpack_columns(jnp.asarray(self._sample_rows), self.train_specs)
         )
-        return self.trainer.init_state(jax.device_get(sample))
+        return self.trainer.init_state(sample)
 
     # -- jitted pieces (need state shardings -> built after init_state) --
 
@@ -149,7 +189,7 @@ class StagedRunner:
         if self._fns_built:
             return
         tr = self.trainer
-        bs = self.batch_size
+        bs = self.global_bs
 
         spd = min(self.steps_per_dispatch, self.train_steps)
         # prefer a divisor of train_steps (down to half the requested
@@ -252,12 +292,17 @@ class StagedRunner:
             loss_acc, probs = self._eval_step(state, loss_acc, self.eval_staged, i)
             for k, v in probs.items():
                 chunks.setdefault(k, []).append(v)
+        # multi-host-safe fetches: predictions are globally sharded jax
+        # Arrays (process_allgather under the hood); labels/valid are
+        # process-local — the staged global row order is process-major,
+        # matching _host_all's tiled concatenation order
         preds = {
-            k: np.asarray(jax.device_get(jnp.concatenate(v)))
+            k: self.trainer._host_all(jnp.concatenate(v))
             for k, v in chunks.items()
         }
         loss = float(loss_acc) / self.eval_steps
-        labels, valid = self._eval_labels, self._eval_valid
+        labels = self.trainer._host_all(self._eval_labels)
+        valid = self.trainer._host_all(self._eval_valid)
         trainer, cfg = self.trainer, self.trainer.model_cfg
         task_aucs = {}
         for task, p in preds.items():

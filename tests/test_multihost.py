@@ -54,13 +54,33 @@ def test_two_process_train_eval():
     for rc, out, err in outs:
         assert rc == 0, f"worker failed:\nstdout:{out}\nstderr:{err[-3000:]}"
     aucs, rows = [], []
+    staged_of_stream, staged_aucs, staged_losses, staged_rows = [], [], [], []
     for _, out, _ in outs:
         for line in out.splitlines():
             if line.startswith("EVAL_AUC"):
                 parts = line.split()
                 aucs.append(float(parts[1]))
                 rows.append(int(parts[3]))
+            elif line.startswith("STAGED_EVAL_OF_STREAM_STATE"):
+                staged_of_stream.append(float(line.split()[1]))
+            elif line.startswith("STAGED_AUC"):
+                parts = line.split()
+                staged_aucs.append(float(parts[1]))
+                staged_losses.append(float(parts[3]))
+                staged_rows.append(int(parts[5]))
     assert len(aucs) == 2, outs
     # both processes computed the same global AUC over all 512 eval rows
     assert abs(aucs[0] - aucs[1]) < 1e-6, aucs
     assert rows[0] == rows[1] == 512, rows
+    # staged eval plumbing reproduces the streaming eval on the SAME
+    # state (exact: order-invariant AUC over identical per-row probs)
+    assert len(staged_of_stream) == 2, outs
+    for s in staged_of_stream:
+        assert abs(s - aucs[0]) < 1e-5, (s, aucs[0])
+    # staged multi-host TRAINING ran: finite loss, both processes agree
+    assert len(staged_aucs) == 2, outs
+    assert abs(staged_aucs[0] - staged_aucs[1]) < 1e-6, staged_aucs
+    assert staged_rows[0] == staged_rows[1] == 512, staged_rows
+    import math
+
+    assert all(math.isfinite(l) for l in staged_losses), staged_losses
