@@ -67,6 +67,9 @@ class ModelConfig:
     # bound HBM traffic at d=16 (see ops/transformer.py), LN/softmax stay
     # f32. Set "float32" for bit-exact reference-style numerics.
     transformer_dtype: str = "bfloat16"
+    # dtype of the (B,T,T) attention score/weight storage in the BST
+    # block (softmax reductions stay f32; ops/transformer.py score_dtype)
+    transformer_score_dtype: str = "float32"
     # xDeepFM
     cin_layer_sizes: Tuple[int, ...] = (128, 128)
     # FiBiNet

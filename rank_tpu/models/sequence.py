@@ -93,6 +93,7 @@ class BST(RankModel):
                 max_len=t,
                 dropout_rate=cfg.dropout_rate,
                 compute_dtype=cfg.transformer_dtype,
+                score_dtype=cfg.transformer_score_dtype,
                 name=f"transformer_{i}",
             )(h, valid, train=train)
 

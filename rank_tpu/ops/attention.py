@@ -42,6 +42,27 @@ def masked_softmax(scores: jnp.ndarray, mask: jnp.ndarray, axis: int = -1) -> jn
     return e / jnp.maximum(denom, 1e-12)
 
 
+def masked_softmax_lowp(
+    scores: jnp.ndarray, mask: jnp.ndarray, axis: int = -1
+) -> jnp.ndarray:
+    """masked_softmax with LOW-PRECISION (T,T)-sized storage: every tensor
+    with the scores' full shape stays in the scores' dtype (bf16), only
+    the exp argument and the normalising sum run through f32 — those casts
+    are elementwise/reduction steps XLA keeps in registers, so the HBM
+    score-side traffic halves vs a f32 softmax. bf16 shares f32's exponent
+    range, so the MASK_NEG sentinel and max-subtraction are safe."""
+    neg = jnp.asarray(MASK_NEG, scores.dtype)
+    masked = jnp.where(mask, scores, neg)
+    m = jnp.max(masked, axis=axis, keepdims=True)
+    e = (
+        jnp.exp((masked - m).astype(jnp.float32))
+        * mask.astype(jnp.float32)
+    ).astype(scores.dtype)
+    denom = jnp.sum(e.astype(jnp.float32), axis=axis, keepdims=True)
+    inv = jnp.reciprocal(jnp.maximum(denom, 1e-12)).astype(scores.dtype)
+    return e * inv
+
+
 class DINAttention(nn.Module):
     """DIN local-activation unit with a registered scoring MLP.
 

@@ -20,7 +20,7 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .attention import masked_softmax
+from .attention import masked_softmax, masked_softmax_lowp
 
 
 class BSTTransformerBlock(nn.Module):
@@ -42,6 +42,13 @@ class BSTTransformerBlock(nn.Module):
     # bit-identical loss; scripts/bench_bst_variants.py). 'einsum' keeps
     # the classic batched-matmul form (better for d_head >= 128).
     attn_impl: str = "vpu"
+    # dtype of the (B,T,T)-sized score/weight tensors in the vpu path:
+    # 'bfloat16' keeps score STORAGE low-precision with f32 softmax
+    # reductions (masked_softmax_lowp) — at T=51 the lane dim pads to 128
+    # so these tensors dominate the block's HBM traffic and halving them
+    # is the VERDICT-r1 "remaining headroom" lever; 'float32' is the
+    # reference-faithful default.
+    score_dtype: str = "float32"
 
     @nn.compact
     def __call__(
@@ -70,16 +77,24 @@ class BSTTransformerBlock(nn.Module):
         inv_sqrt_dh = 1.0 / jnp.sqrt(jnp.asarray(dh, jnp.float32))
 
         if self.attn_impl == "vpu":
+            lowp_scores = self.score_dtype == "bfloat16" and cdt != jnp.float32
             mask2 = key_valid[:, None, :]  # (B, 1, T) over queries
             ctxs = []
             for hh in range(h):
                 sl = slice(hh * dh, (hh + 1) * dh)
-                sc = jnp.sum(
-                    q[:, :, None, sl] * k[:, None, :, sl], axis=-1
-                ).astype(jnp.float32) * inv_sqrt_dh
-                w = masked_softmax(sc, jnp.broadcast_to(mask2, sc.shape))
+                sc = jnp.sum(q[:, :, None, sl] * k[:, None, :, sl], axis=-1)
+                if lowp_scores:
+                    sc = sc * jnp.asarray(inv_sqrt_dh, cdt)
+                    w = masked_softmax_lowp(
+                        sc, jnp.broadcast_to(mask2, sc.shape)
+                    )
+                else:
+                    sc = sc.astype(jnp.float32) * inv_sqrt_dh
+                    w = masked_softmax(
+                        sc, jnp.broadcast_to(mask2, sc.shape)
+                    ).astype(cdt)
                 ctxs.append(
-                    jnp.sum(w.astype(cdt)[..., None] * v[:, None, :, sl], axis=2)
+                    jnp.sum(w[..., None] * v[:, None, :, sl], axis=2)
                 )
             context = jnp.concatenate(ctxs, axis=-1)
         else:

@@ -299,6 +299,23 @@ class TestTransformer:
             rtol=2e-2, atol=2e-2,  # bf16 internals; reduction order differs
         )
 
+    def test_bf16_score_storage_matches_f32(self):
+        # score_dtype='bfloat16' (masked_softmax_lowp: bf16 (T,T) storage,
+        # f32 reductions) must track the f32-score path closely, including
+        # fully-masked rows (zero attention output, not NaN)
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.normal(size=(3, 6, 8)), jnp.float32)
+        valid = jnp.asarray(np.array([[1, 1, 1, 0, 0, 0], [1] * 6, [0] * 6], bool))
+        f32 = ops.BSTTransformerBlock(d_model=8, num_heads=2, max_len=7)
+        b16 = ops.BSTTransformerBlock(
+            d_model=8, num_heads=2, max_len=7, score_dtype="bfloat16"
+        )
+        v = _init(f32, x, valid)
+        o32 = np.asarray(f32.apply(v, x, valid))
+        o16 = np.asarray(b16.apply(v, x, valid))
+        assert np.all(np.isfinite(o16))
+        np.testing.assert_allclose(o32, o16, rtol=3e-2, atol=3e-2)
+
     def test_vpu_matches_einsum_formulation(self):
         # same params, both attention formulations -> same outputs
         rng = np.random.default_rng(2)
