@@ -50,6 +50,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--learning_rate", type=float, default=0.005)
     p.add_argument("--save_checkpoints_steps", type=int, default=1000)
     p.add_argument("--resume", type=_str2bool, default=False)
+    p.add_argument("--init_from_reference", type=str, default=None,
+                   help="warm-start from a reference best_model.pth "
+                   "(dcn/deepcrossing): trained tensors are imported, "
+                   "layers absent from the checkpoint keep fresh init")
     # model hyperparameters (union; reference names)
     p.add_argument("--hidden_units", type=str, default=None)
     p.add_argument("--embedding_dim", type=int, default=None)
@@ -233,6 +237,20 @@ def main(argv=None) -> int:
     else:
         sample = next(iter(ArrayLoader(train_data, per_host_bs)))
         state = trainer.init_state(sample)
+    if args.init_from_reference:
+        from .interop import import_reference_checkpoint
+
+        new_params, report = import_reference_checkpoint(
+            args.init_from_reference, args.model,
+            jax.device_get(state["params"]),
+        )
+        state["params"] = jax.device_put(
+            new_params, trainer._state_shardings["params"]
+        )
+        print(
+            f"warm-started {len(report)} tensors from "
+            f"{args.init_from_reference}"
+        )
     mgr = CheckpointManager(args.model_dir)
 
     start_epoch = 1

@@ -137,6 +137,7 @@ class AutoInt(RankModel):
                 num_heads=cfg.autoint_heads,
                 att_dim=cfg.autoint_att_dim,
                 compute_dtype=cfg.transformer_dtype,
+                score_dtype=cfg.transformer_score_dtype,
                 name=f"interact_{i}",
             )(e)
         logit = nn.Dense(1, name="output")(e.reshape(e.shape[0], -1))

@@ -30,6 +30,10 @@ class AutoIntLayer(nn.Module):
     # bound at F~23, d'=32 (same finding as the BST block,
     # scripts/bench_bst_variants.py). 'einsum' keeps the matmul form.
     attn_impl: str = "vpu"
+    # dtype of the (B,F,F)-sized score/weight storage in the vpu path
+    # (F~23 pads to 128 lanes, same traffic argument as the BST block);
+    # softmax reductions stay f32 via masked-free low-precision softmax.
+    score_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, e: jnp.ndarray) -> jnp.ndarray:
@@ -43,14 +47,24 @@ class AutoIntLayer(nn.Module):
         k = dg("w_k")(ec)
         v = dg("w_v")(ec)
         if self.attn_impl == "vpu":
+            lowp = self.score_dtype == "bfloat16" and cdt != jnp.float32
             outs = []
             for hh in range(h):
                 sc = jnp.sum(
                     q[:, :, None, hh, :] * k[:, None, :, hh, :], axis=-1
-                ).astype(jnp.float32)
-                w = jax.nn.softmax(sc, axis=-1)  # unscaled, per the paper
+                )
+                if lowp:
+                    # bf16 storage, f32 reductions (cf. masked_softmax_lowp)
+                    m = jnp.max(sc, axis=-1, keepdims=True)
+                    ex = jnp.exp((sc - m).astype(jnp.float32)).astype(cdt)
+                    s = jnp.sum(ex.astype(jnp.float32), axis=-1, keepdims=True)
+                    w = ex * jnp.reciprocal(s).astype(cdt)
+                else:
+                    w = jax.nn.softmax(  # unscaled, per the paper
+                        sc.astype(jnp.float32), axis=-1
+                    ).astype(cdt)
                 outs.append(
-                    jnp.sum(w.astype(cdt)[..., None] * v[:, None, :, hh, :], axis=2)
+                    jnp.sum(w[..., None] * v[:, None, :, hh, :], axis=2)
                 )
             out = jnp.concatenate(outs, axis=-1)
         else:

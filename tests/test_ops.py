@@ -316,6 +316,19 @@ class TestTransformer:
         assert np.all(np.isfinite(o16))
         np.testing.assert_allclose(o32, o16, rtol=3e-2, atol=3e-2)
 
+    def test_autoint_bf16_score_storage_matches_f32(self):
+        from rank_tpu.ops.autoint import AutoIntLayer
+
+        rng = np.random.default_rng(7)
+        e = jnp.asarray(rng.normal(size=(4, 5, 6)), jnp.float32)
+        f32 = AutoIntLayer(num_heads=2, att_dim=4)
+        b16 = AutoIntLayer(num_heads=2, att_dim=4, score_dtype="bfloat16")
+        v = _init(f32, e)
+        o32 = np.asarray(f32.apply(v, e))
+        o16 = np.asarray(b16.apply(v, e))
+        assert np.all(np.isfinite(o16))
+        np.testing.assert_allclose(o32, o16, rtol=3e-2, atol=3e-2)
+
     def test_vpu_matches_einsum_formulation(self):
         # same params, both attention formulations -> same outputs
         rng = np.random.default_rng(2)
