@@ -246,6 +246,8 @@ class Trainer:
         self._compiled = {}
         self._batch_sharding = NamedSharding(self.mesh, P(DATA_AXIS))
         self._repl = NamedSharding(self.mesh, P())
+        # filled by init_state with the actual per-table decisions
+        self.shard_decisions = {"sharded": [], "replicated": []}
 
     # -- state ------------------------------------------------------------
 
