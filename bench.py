@@ -638,10 +638,353 @@ def _torch_models():
             ]
             return torch.stack(outs, dim=1)  # (B, n_tasks)
 
+    class TorchFwFM(nn.Module):
+        """Reference FwFM structure (fwfm.py:87-139): 6 categorical fields
+        (no dense), per-field dim-1 linear tables + per-pair weight
+        r_p * <v_i, v_j> + global bias. Mirrors rank_tpu
+        models/fm_family.FwFM (ops/fm.py:fwfm_interaction)."""
+
+        def __init__(self, d=16):
+            super().__init__()
+            self.lin = nn.ModuleDict(
+                {k: nn.Embedding(VOCABS[k], 1) for k in FM_FIELDS}
+            )
+            self.emb = nn.ModuleDict(
+                {k: nn.Embedding(VOCABS[k], d) for k in FM_FIELDS}
+            )
+            f = len(FM_FIELDS)
+            self.idx_i, self.idx_j = map(
+                list, np.triu_indices(f, k=1)
+            )
+            self.r = nn.Parameter(torch.randn(len(self.idx_i)))
+            self.bias = nn.Parameter(torch.zeros(1))
+
+        def forward(self, cats):
+            import torch
+
+            lin = sum(self.lin[k](cats[k]) for k in FM_FIELDS)  # (B, 1)
+            embs = torch.stack(
+                [self.emb[k](cats[k]) for k in FM_FIELDS], dim=1
+            )
+            dots = (embs[:, self.idx_i] * embs[:, self.idx_j]).sum(-1)  # (B,P)
+            quad = (dots * self.r[None]).sum(-1, keepdim=True)
+            return (lin + quad + self.bias).squeeze(1)
+
+    class TorchFFM(nn.Module):
+        """FFM (README-only, README.md:19; Juan et al. 2016) mirroring
+        rank_tpu models/fm_family.FFM: 6 fields, per-field linear + field-
+        aware tables vocab x (F*E), pair term <v_{i,f_j}, v_{j,f_i}>."""
+
+        def __init__(self, d=8):
+            super().__init__()
+            f = len(FM_FIELDS)
+            self.d, self.f = d, f
+            self.lin = nn.ModuleDict(
+                {k: nn.Embedding(VOCABS[k], 1) for k in FM_FIELDS}
+            )
+            self.fa = nn.ModuleDict(
+                {k: nn.Embedding(VOCABS[k], f * d) for k in FM_FIELDS}
+            )
+            self.idx_i, self.idx_j = map(list, np.triu_indices(f, k=1))
+            self.bias = nn.Parameter(torch.zeros(1))
+
+        def forward(self, cats):
+            import torch
+
+            lin = sum(self.lin[k](cats[k]) for k in FM_FIELDS)
+            fa = torch.stack(
+                [
+                    self.fa[k](cats[k]).view(-1, self.f, self.d)
+                    for k in FM_FIELDS
+                ],
+                dim=1,
+            )  # (B, F, F_partner, E)
+            vi = fa[:, self.idx_i, self.idx_j, :]
+            vj = fa[:, self.idx_j, self.idx_i, :]
+            quad = (vi * vj).sum((1, 2)).unsqueeze(1)
+            return (lin + quad + self.bias).squeeze(1)
+
+    class TorchPNN(nn.Module):
+        """PNN inner mode (README-only, README.md:21; Qu et al. 2016)
+        mirroring rank_tpu models/fm_family.PNN: 7 dim-16 fields (no
+        dense), [flat embs ; pairwise inner products] -> BN tower."""
+
+        def __init__(self, d=16):
+            super().__init__()
+            self.emb = nn.ModuleDict(
+                {k: nn.Embedding(VOCABS[k], d) for k in AFM_FIELDS}
+            )
+            f = len(AFM_FIELDS)
+            self.idx_i, self.idx_j = map(list, np.triu_indices(f, k=1))
+            layers, dim = [], d * f + len(self.idx_i)
+            for h in (512, 256, 128):
+                layers += [
+                    nn.Linear(dim, h), nn.BatchNorm1d(h),
+                    nn.ReLU(), nn.Dropout(0.1),
+                ]
+                dim = h
+            layers.append(nn.Linear(dim, 1))
+            self.dnn = nn.Sequential(*layers)
+
+        def forward(self, cats):
+            import torch
+
+            embs = torch.stack(
+                [self.emb[k](cats[k]) for k in AFM_FIELDS], dim=1
+            )
+            inner = (embs[:, self.idx_i] * embs[:, self.idx_j]).sum(-1)
+            x = torch.cat([embs.reshape(embs.shape[0], -1), inner], dim=1)
+            return self.dnn(x).squeeze(1)
+
+    class TorchWideDeep(nn.Module):
+        """Wide&Deep (README-only, README.md:22; Cheng et al. 2016)
+        mirroring rank_tpu models/fm_family.WideDeep: wide = 7-field dim-1
+        linear + Linear(dense); deep = [dense ; per-field-dim embs] -> BN
+        tower -> Linear(1); logit = wide + deep. Scalar tag lookup on both
+        sides (parity_check SCALAR_TAG_MODELS)."""
+
+        def __init__(self):
+            super().__init__()
+            self.wide = nn.ModuleDict(
+                {k: nn.Embedding(VOCABS[k], 1) for k in AFM_FIELDS}
+            )
+            self.wide_dense = nn.Linear(16, 1)
+            self.emb = nn.ModuleDict(
+                {k: nn.Embedding(VOCABS[k], d) for k, d in EMB_DIMS.items()}
+            )
+            layers, dim = [], 16 + sum(EMB_DIMS.values())
+            for h in (512, 256, 128):
+                layers += [
+                    nn.Linear(dim, h), nn.BatchNorm1d(h),
+                    nn.ReLU(), nn.Dropout(0.1),
+                ]
+                dim = h
+            self.dnn = nn.Sequential(*layers)
+            self.deep_out = nn.Linear(dim, 1)
+
+        def forward(self, dense, cats):
+            import torch
+
+            wide = sum(self.wide[k](cats[k]) for k in AFM_FIELDS)
+            wide = wide + self.wide_dense(dense)
+            embs = [self.emb[k](cats[k]) for k in EMB_DIMS]
+            deep = self.deep_out(self.dnn(torch.cat([dense] + embs, dim=1)))
+            return (wide + deep).squeeze(1)
+
+    class TorchFiBiNet(nn.Module):
+        """FiBiNet (README-only, README.md:30; Huang et al. RecSys 2019)
+        mirroring rank_tpu models/cross_family.FiBiNet: 7 dim-16 fields,
+        SENET (mean squeeze, F->F//3->F ReLU excitation, no bias),
+        per-pair bilinear W_ij on raw + SENET embs, concat with dense into
+        the BN tower."""
+
+        def __init__(self, d=16, reduction=3):
+            super().__init__()
+            self.emb = nn.ModuleDict(
+                {k: nn.Embedding(VOCABS[k], d) for k in AFM_FIELDS}
+            )
+            f = len(AFM_FIELDS)
+            self.idx_i, self.idx_j = map(list, np.triu_indices(f, k=1))
+            p = len(self.idx_i)
+            mid = max(1, f // reduction)
+            self.se1 = nn.Linear(f, mid, bias=False)
+            self.se2 = nn.Linear(mid, f, bias=False)
+            self.w_raw = nn.Parameter(torch.empty(p, d, d))
+            self.w_se = nn.Parameter(torch.empty(p, d, d))
+            nn.init.xavier_uniform_(self.w_raw)
+            nn.init.xavier_uniform_(self.w_se)
+            layers, dim = [], 16 + 2 * p * d
+            for h in (512, 256, 128):
+                layers += [
+                    nn.Linear(dim, h), nn.BatchNorm1d(h),
+                    nn.ReLU(), nn.Dropout(0.1),
+                ]
+                dim = h
+            layers.append(nn.Linear(dim, 1))
+            self.dnn = nn.Sequential(*layers)
+
+        def _bilinear(self, embs, w):
+            import torch
+
+            vi = embs[:, self.idx_i]  # (B, P, D)
+            left = torch.einsum("bpd,pde->bpe", vi, w)
+            return left * embs[:, self.idx_j]
+
+        def forward(self, dense, cats):
+            import torch
+            import torch.nn.functional as F
+
+            embs = torch.stack(
+                [self.emb[k](cats[k]) for k in AFM_FIELDS], dim=1
+            )
+            a = F.relu(self.se2(F.relu(self.se1(embs.mean(-1)))))
+            se_embs = embs * a.unsqueeze(-1)
+            p1 = self._bilinear(embs, self.w_raw).flatten(1)
+            p2 = self._bilinear(se_embs, self.w_se).flatten(1)
+            return self.dnn(torch.cat([dense, p1, p2], dim=1)).squeeze(1)
+
+    class TorchAutoInt(nn.Module):
+        """AutoInt (reference to-do, README.md:61; Song et al. CIKM 2019)
+        mirroring rank_tpu models/cross_family.AutoInt + ops/autoint.py:
+        7 dim-16 cat fields + 16 numerics embedded as value * learned
+        vector; 3 interacting layers (2 heads, d'=32, unscaled softmax per
+        the paper, bias-free projections, residual W_res, ReLU); logit =
+        Linear(flatten)."""
+
+        def __init__(self, d=16, layers=3, heads=2, da=32):
+            super().__init__()
+            self.h, self.da = heads, da
+            self.emb = nn.ModuleDict(
+                {k: nn.Embedding(VOCABS[k], d) for k in AFM_FIELDS}
+            )
+            self.dense_emb = nn.Parameter(torch.randn(16, d))
+            dims = [d] + [heads * da] * layers
+            self.wq = nn.ModuleList(
+                [nn.Linear(dims[i], heads * da, bias=False) for i in range(layers)]
+            )
+            self.wk = nn.ModuleList(
+                [nn.Linear(dims[i], heads * da, bias=False) for i in range(layers)]
+            )
+            self.wv = nn.ModuleList(
+                [nn.Linear(dims[i], heads * da, bias=False) for i in range(layers)]
+            )
+            self.wres = nn.ModuleList(
+                [nn.Linear(dims[i], heads * da, bias=False) for i in range(layers)]
+            )
+            f = len(AFM_FIELDS) + 16
+            self.out = nn.Linear(f * heads * da, 1)
+
+        def forward(self, dense, cats):
+            import torch
+            import torch.nn.functional as F
+
+            cat_e = torch.stack(
+                [self.emb[k](cats[k]) for k in AFM_FIELDS], dim=1
+            )
+            dense_e = dense.unsqueeze(-1) * self.dense_emb[None]
+            e = torch.cat([cat_e, dense_e], dim=1)  # (B, F, D)
+            b, f, _ = e.shape
+            for wq, wk, wv, wres in zip(self.wq, self.wk, self.wv, self.wres):
+                q = wq(e).view(b, f, self.h, self.da)
+                k = wk(e).view(b, f, self.h, self.da)
+                v = wv(e).view(b, f, self.h, self.da)
+                s = torch.einsum("bfhd,bghd->bhfg", q, k)  # unscaled
+                w = F.softmax(s, dim=-1)
+                o = torch.einsum("bhfg,bghd->bfhd", w, v).reshape(b, f, -1)
+                e = F.relu(o + wres(e))
+            return self.out(e.flatten(1)).squeeze(1)
+
+    class TorchFLEN(nn.Module):
+        """FLEN (reference to-do, README.md:61; Feng et al. 2020)
+        mirroring rank_tpu models/fm_family.FLEN: field groups
+        (userid,device | feedid,authorid,bgm_song,bgm_singer | tags),
+        S = per-field dim-1 linear + Linear(dense); FwBI = r_inter-weighted
+        group-sum pair products + r_intra-weighted intra-group
+        bi-interaction; MLP = [dense ; flat embs] -> BN tower; logit =
+        Linear([h_S ; h_FwBI ; h_MLP])."""
+
+        GROUPS = (
+            ("userid", "device"),
+            ("feedid", "authorid", "bgm_song_id", "bgm_singer_id"),
+            ("manual_tag_list",),
+        )
+
+        def __init__(self, d=16):
+            super().__init__()
+            self.fields = tuple(f for g in self.GROUPS for f in g)
+            self.slices, start = [], 0
+            for g in self.GROUPS:
+                self.slices.append((start, start + len(g)))
+                start += len(g)
+            self.emb = nn.ModuleDict(
+                {k: nn.Embedding(VOCABS[k], d) for k in self.fields}
+            )
+            self.lin = nn.ModuleDict(
+                {k: nn.Embedding(VOCABS[k], 1) for k in self.fields}
+            )
+            self.dense_linear = nn.Linear(16, 1)
+            m = len(self.GROUPS)
+            self.r_intra = nn.Parameter(torch.ones(m))
+            self.r_inter = nn.Parameter(torch.ones(m * (m - 1) // 2))
+            self.gi, self.gj = map(list, np.triu_indices(m, k=1))
+            layers, dim = [], 16 + d * len(self.fields)
+            for h in (512, 256, 128):
+                layers += [
+                    nn.Linear(dim, h), nn.BatchNorm1d(h),
+                    nn.ReLU(), nn.Dropout(0.1),
+                ]
+                dim = h
+            self.dnn = nn.Sequential(*layers)
+            self.final = nn.Linear(1 + d + dim, 1)
+
+        def forward(self, dense, cats):
+            import torch
+
+            emb = torch.stack(
+                [self.emb[k](cats[k]) for k in self.fields], dim=1
+            )  # (B, F, D)
+            h_s = sum(self.lin[k](cats[k]) for k in self.fields)
+            h_s = h_s + self.dense_linear(dense)
+            gs = torch.stack(
+                [emb[:, a:b].sum(1) for a, b in self.slices], dim=1
+            )  # (B, M, D)
+            h_mf = (
+                gs[:, self.gi] * gs[:, self.gj]
+                * self.r_inter[None, :, None]
+            ).sum(1)
+            h_fm = 0.0
+            for m, (a, b) in enumerate(self.slices):
+                g = emb[:, a:b]
+                bi = 0.5 * (g.sum(1).square() - g.square().sum(1))
+                h_fm = h_fm + self.r_intra[m] * bi
+            h_mlp = self.dnn(
+                torch.cat([dense, emb.flatten(1)], dim=1)
+            )
+            out = torch.cat([h_s, h_mf + h_fm, h_mlp], dim=1)
+            return self.final(out).squeeze(1)
+
+    class TorchESMM(nn.Module):
+        """ESMM (README-only, README.md:40; Ma et al. SIGIR'18) mirroring
+        rank_tpu models/multitask.ESMM: shared input = [dense ; field
+        embs ; target feedid emb]; two plain-ReLU towers (256,128,64);
+        returns (B, 2) probs [p_ctr, p_ctcvr = p_ctr * p_cvr] — trained
+        with BCE on probs (the CTCVR head is a product of probabilities)."""
+
+        def __init__(self):
+            super().__init__()
+            self.emb = nn.ModuleDict(
+                {k: nn.Embedding(VOCABS[k], d) for k, d in EMB_DIMS.items()}
+            )
+            self.feed_emb = nn.Embedding(VOCABS["feedid"], 16)
+            d0 = 16 + sum(EMB_DIMS.values()) + 16
+
+            def tower():
+                return nn.Sequential(
+                    nn.Linear(d0, 256), nn.ReLU(),
+                    nn.Linear(256, 128), nn.ReLU(),
+                    nn.Linear(128, 64), nn.ReLU(),
+                    nn.Linear(64, 1),
+                )
+
+            self.ctr_tower = tower()
+            self.cvr_tower = tower()
+
+        def forward(self, dense, cats, target):
+            import torch
+
+            embs = [self.emb[k](cats[k]) for k in EMB_DIMS]
+            x0 = torch.cat([dense] + embs + [self.feed_emb(target)], dim=1)
+            p_ctr = torch.sigmoid(self.ctr_tower(x0).squeeze(1))
+            p_ctcvr = p_ctr * torch.sigmoid(self.cvr_tower(x0).squeeze(1))
+            return torch.stack([p_ctr, p_ctcvr], dim=1)
+
     return {"dcn": TorchDCN, "bst": TorchBST, "din": TorchDIN,
             "mmoe": TorchMMOE, "deepfm": TorchDeepFM,
             "deepcrossing": TorchDeepCrossing, "afm": TorchAFM,
-            "xdeepfm": TorchXDeepFM, "dien": TorchDIEN, "ple": TorchPLE}
+            "xdeepfm": TorchXDeepFM, "dien": TorchDIEN, "ple": TorchPLE,
+            "fwfm": TorchFwFM, "ffm": TorchFFM, "pnn": TorchPNN,
+            "widedeep": TorchWideDeep, "fibinet": TorchFiBiNet,
+            "autoint": TorchAutoInt, "flen": TorchFLEN, "esmm": TorchESMM}
 
 
 def bench_torch(model_name: str) -> float:

@@ -30,7 +30,11 @@ Covers these model families (torch mirrors in bench.py):
     Tang et al. 2020): CGC levels, task-specific + shared experts;
   * deepfm — the minimum end-to-end slice (SURVEY §7; reference
     deepfm.py:73-151): categorical-only features, dual dim-1/dim-16
-    tables, FM1+FM2+deep with learned 3->1 fusion.
+    tables, FM1+FM2+deep with learned 3->1 fusion;
+  * fwfm (fwfm.py:87-139), ffm / pnn / widedeep / fibinet (README-only,
+    from the cited papers), autoint / flen (reference to-do items), and
+    esmm (probability-product CTCVR head, BCE on probs) — round-2
+    additions completing head-to-head coverage of the full 18-model zoo.
 
 Usage: python scripts/parity_check.py [--model dcn|bst|...] [--rows 200000]
        [--epochs 3]
@@ -50,12 +54,15 @@ SEQ = "his_read_comment_7d_seq"
 MODELS = (
     "dcn", "bst", "din", "dien", "deepcrossing", "afm", "xdeepfm",
     "mmoe", "ple", "deepfm",
+    "fwfm", "ffm", "pnn", "widedeep", "fibinet", "autoint", "flen", "esmm",
 )
 MULTI_TASK = ("mmoe", "ple")
 # models whose rank_tpu side must use the scalar tag lookup so the torch
 # mirror (which looks tags up as one id, like the reference) is
 # apples-to-apples
-SCALAR_TAG_MODELS = ("din", "mmoe", "deepcrossing", "ple", "dien")
+SCALAR_TAG_MODELS = (
+    "din", "mmoe", "deepcrossing", "ple", "dien", "widedeep", "esmm",
+)
 
 
 def train_ours(model_name, train_d, eval_d, epochs, batch):
@@ -76,8 +83,8 @@ def train_ours(model_name, train_d, eval_d, epochs, batch):
     for e in range(1, epochs + 1):
         state, _ = runner.train_epoch(state, e)
     stats = runner.evaluate(state, epochs)
-    if model_name in MULTI_TASK:
-        print(f"rank_tpu task AUCs: {stats['task_aucs']}")
+    if model_name in MULTI_TASK + ("esmm",):
+        print(f"rank_tpu task AUCs: {stats.get('task_aucs')}")
     return stats["auc"]
 
 
@@ -91,7 +98,7 @@ def _torch_args(model_name, d, idx):
     AFM_FIELDS = FM_FIELDS + ("manual_tag_list",)
     task_cols = [0, 2, 3]  # read_comment / like / click_avatar
 
-    if model_name == "deepfm":  # categorical-only, incl. feedid
+    if model_name in ("deepfm", "fwfm", "ffm"):  # cat-only, 6 fields
         cats = {
             k: torch.tensor(d[k][idx], dtype=torch.long) for k in FM_FIELDS
         }
@@ -99,7 +106,13 @@ def _torch_args(model_name, d, idx):
 
     dense = torch.tensor(d["dense"][idx])
     y = torch.tensor(d["labels"][idx, 0])
-    if model_name in ("afm", "xdeepfm"):
+    if model_name == "pnn":  # cat-only, 7 fields
+        cats = {
+            k: torch.tensor(d[k][idx], dtype=torch.long) for k in AFM_FIELDS
+        }
+        return (cats,), y
+    if model_name in ("afm", "xdeepfm", "fibinet", "autoint", "flen",
+                      "widedeep"):
         cats = {
             k: torch.tensor(d[k][idx], dtype=torch.long) for k in AFM_FIELDS
         }
@@ -115,6 +128,10 @@ def _torch_args(model_name, d, idx):
     if model_name in ("mmoe", "ple"):
         return (dense, cats, feedid), torch.tensor(
             d["labels"][idx][:, task_cols]
+        )
+    if model_name == "esmm":  # [read_comment (ctr), like (cvr)] labels
+        return (dense, cats, feedid), torch.tensor(
+            d["labels"][idx][:, [0, 2]]
         )
     if model_name == "bst":
         # target feedid appended as the last sequence position, as in
@@ -137,6 +154,16 @@ def train_torch(model_name, train_d, eval_d, epochs, batch):
     opt = torch.optim.Adam(model.parameters(), lr=0.005)
     crit = torch.nn.BCEWithLogitsLoss()
 
+    def loss_fn(out, y):
+        if model_name != "esmm":
+            return crit(out, y)
+        # ESMM trains with BCE on PROBS (CTCVR = p_ctr * p_cvr is a
+        # product of probabilities); same eps clip as train/loop.py
+        p = out.clamp(1e-7, 1 - 1e-7)
+        y_ctcvr = y[:, 0] * y[:, 1]
+        bce = torch.nn.functional.binary_cross_entropy
+        return bce(p[:, 0], y[:, 0]) + bce(p[:, 1], y_ctcvr)
+
     n = train_d["labels"].shape[0]
     rng = np.random.default_rng(0)
     model.train()
@@ -145,7 +172,7 @@ def train_torch(model_name, train_d, eval_d, epochs, batch):
         for i in range(0, n - batch + 1, batch):
             args_t, y = _torch_args(model_name, train_d, order[i : i + batch])
             opt.zero_grad()
-            loss = crit(model(*args_t), y)
+            loss = loss_fn(model(*args_t), y)
             loss.backward()
             opt.step()
         print(f"torch epoch {e+1} done", flush=True)
@@ -156,10 +183,21 @@ def train_torch(model_name, train_d, eval_d, epochs, batch):
         for i in range(0, ne, batch):
             idx = np.arange(i, min(i + batch, ne))
             args_t, y = _torch_args(model_name, eval_d, idx)
-            preds.append(torch.sigmoid(model(*args_t)).numpy())
+            out = model(*args_t)
+            if model_name == "esmm":  # already probabilities
+                preds.append(out.numpy())
+            else:
+                preds.append(torch.sigmoid(out).numpy())
             ys.append(y.numpy())
     p = np.concatenate(preds)
     y = np.concatenate(ys)
+    if model_name == "esmm":
+        aucs = {
+            "ctr": roc_auc_score(y[:, 0], p[:, 0]),
+            "ctcvr": roc_auc_score(y[:, 0] * y[:, 1], p[:, 1]),
+        }
+        print(f"torch task AUCs: {aucs}")
+        return aucs["ctr"]
     if model_name in MULTI_TASK:
         tasks = ("read_comment", "like", "click_avatar")
         aucs = {t: roc_auc_score(y[:, i], p[:, i]) for i, t in enumerate(tasks)}

@@ -59,16 +59,28 @@ def _args_for(name, inputs):
             0, VOCABS["manual_tag_list"], (B,)
         )
         return (dense, afm_cats)
-    if name == "deepfm":
+    if name in ("deepfm", "fwfm", "ffm"):
         fm_cats = {
             k: (cats[k] if k in cats else feedid) for k in FM_FIELDS
         }
         return (fm_cats,)
+    if name in ("pnn", "widedeep", "fibinet", "autoint", "flen"):
+        afm_cats = {
+            k: (cats[k] if k in cats else feedid) for k in AFM_FIELDS
+        }
+        afm_cats["manual_tag_list"] = torch.randint(
+            0, VOCABS["manual_tag_list"], (B,)
+        )
+        return (afm_cats,) if name == "pnn" else (dense, afm_cats)
+    if name == "esmm":
+        return (dense, cats, feedid)
     raise AssertionError(name)
 
 
 ALL_MIRRORS = ["dcn", "bst", "din", "dien", "deepcrossing", "afm",
-               "xdeepfm", "mmoe", "ple", "deepfm"]
+               "xdeepfm", "mmoe", "ple", "deepfm",
+               "fwfm", "ffm", "pnn", "widedeep", "fibinet", "autoint",
+               "flen", "esmm"]
 
 
 @pytest.mark.parametrize("name", ALL_MIRRORS)
@@ -79,12 +91,17 @@ def test_mirror_trains_one_step(name):
     args = _args_for(name, _rand_inputs(rng))
 
     out = model(*args)
-    n_tasks = 3 if name in ("mmoe", "ple") else None
+    n_tasks = {"mmoe": 3, "ple": 3, "esmm": 2}.get(name)
     assert out.shape == ((B, n_tasks) if n_tasks else (B,))
 
     y = torch.tensor((rng.random(out.shape) < 0.1).astype(np.float32))
     opt = torch.optim.Adam(model.parameters(), lr=0.005)
-    loss = torch.nn.functional.binary_cross_entropy_with_logits(out, y)
+    if name == "esmm":  # probability outputs, BCE on probs
+        loss = torch.nn.functional.binary_cross_entropy(
+            out.clamp(1e-7, 1 - 1e-7), y
+        )
+    else:
+        loss = torch.nn.functional.binary_cross_entropy_with_logits(out, y)
     before = [p.detach().clone() for p in model.parameters()]
     loss.backward()
     opt.step()
