@@ -256,7 +256,16 @@ def main(argv=None) -> int:
     start_epoch = 1
     best_auc = 0.0
     if args.resume and mgr.latest_epoch() is not None:
-        state, epoch = mgr.restore_epoch(state, mgr.latest_epoch())
+        # checkpoints on disk are in unpadded (caller-schema) table shapes
+        # (Trainer.depad_state); restore via a depadded template, then
+        # re-pad for this run's mesh
+        restored, epoch = mgr.restore_epoch(
+            trainer.depad_state(state), mgr.latest_epoch()
+        )
+        # re-pad for this run's mesh, then commit every leaf to this
+        # trainer's shardings (orbax restores with the file's shardings,
+        # which may come from a different mesh/table_parallelism)
+        state = trainer.commit_state(trainer.repad_state(restored, like=state))
         start_epoch = epoch + 1
         best_auc = mgr.epoch_metrics(epoch).get("best_auc", 0.0)
         print(f"resumed from checkpoint_epoch_{epoch} (best_auc={best_auc:.4f})")
@@ -294,16 +303,19 @@ def main(argv=None) -> int:
                 }) + "\n")
         if stats["auc"] > best_auc:
             best_auc = stats["auc"]
-            mgr.save_best(state)
+            mgr.save_best(trainer.depad_state(state))
             print(f"Model saved at epoch {epoch} with best AUC: {best_auc:.4f}")
         if epoch % args.save_checkpoints_steps == 0:
             mgr.save_epoch(
-                state, epoch, {"eval_auc": stats["auc"], "best_auc": best_auc}
+                trainer.depad_state(state), epoch,
+                {"eval_auc": stats["auc"], "best_auc": best_auc},
             )
 
     # reload best, export predictions (deepfm.py:273-293)
     if mgr.has_best():
-        state = mgr.restore_best(state)
+        state = trainer.commit_state(trainer.repad_state(
+            mgr.restore_best(trainer.depad_state(state)), like=state
+        ))
     stats = run_eval(args.num_epochs)
     primary = "ctr" if "ctr" in stats["predictions"] else next(iter(trainer.label_cols))
     preds = stats["predictions"][primary]

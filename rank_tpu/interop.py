@@ -38,9 +38,23 @@ def _set_path(params: Dict, path: Tuple[str, ...], value: np.ndarray) -> None:
     have = tuple(np.shape(node[leaf]))
     want = tuple(value.shape)
     if have != want:
-        raise ValueError(
-            f"shape mismatch at {'/'.join(path)}: flax {have} vs import {want}"
-        )
+        if (
+            leaf == "embedding"
+            and len(have) == len(want)
+            and have[1:] == want[1:]
+            and have[0] > want[0]
+        ):
+            # the Trainer padded this table's rows up to the mesh
+            # table-axis multiple (features.padded_for_table_sharding);
+            # padding rows are unreachable ids — zero-fill them
+            value = np.concatenate(
+                [value, np.zeros((have[0] - want[0],) + want[1:], value.dtype)],
+                axis=0,
+            )
+        else:
+            raise ValueError(
+                f"shape mismatch at {'/'.join(path)}: flax {have} vs import {want}"
+            )
     import jax.numpy as jnp
 
     node[leaf] = jnp.asarray(value, jnp.float32)

@@ -63,6 +63,16 @@ def masked_softmax_lowp(
     return e * inv
 
 
+def softmax_lowp(scores: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    """Unmasked variant of masked_softmax_lowp — same storage/precision
+    contract (score-dtype storage, f32 exp argument and normalising sum);
+    shared by the AutoInt interacting layer."""
+    m = jnp.max(scores, axis=axis, keepdims=True)
+    e = jnp.exp((scores - m).astype(jnp.float32)).astype(scores.dtype)
+    denom = jnp.sum(e.astype(jnp.float32), axis=axis, keepdims=True)
+    return e * jnp.reciprocal(jnp.maximum(denom, 1e-12)).astype(scores.dtype)
+
+
 class DINAttention(nn.Module):
     """DIN local-activation unit with a registered scoring MLP.
 

@@ -54,11 +54,9 @@ class AutoIntLayer(nn.Module):
                     q[:, :, None, hh, :] * k[:, None, :, hh, :], axis=-1
                 )
                 if lowp:
-                    # bf16 storage, f32 reductions (cf. masked_softmax_lowp)
-                    m = jnp.max(sc, axis=-1, keepdims=True)
-                    ex = jnp.exp((sc - m).astype(jnp.float32)).astype(cdt)
-                    s = jnp.sum(ex.astype(jnp.float32), axis=-1, keepdims=True)
-                    w = ex * jnp.reciprocal(s).astype(cdt)
+                    from .attention import softmax_lowp
+
+                    w = softmax_lowp(sc)
                 else:
                     w = jax.nn.softmax(  # unscaled, per the paper
                         sc.astype(jnp.float32), axis=-1

@@ -362,6 +362,70 @@ class Trainer:
             )
         return state
 
+    # -- checkpoint normal form (padded tables) ---------------------------
+
+    def _padded_table_dims(self, path, shape):
+        """(orig_rows, padded_rows) if this leaf is a row-padded embedding
+        table (matched by param name AND row count), else None."""
+        if not self.table_padding:
+            return None
+        keys = [str(getattr(k, "key", getattr(k, "name", k))) for k in path]
+        if len(keys) < 2 or keys[-1] != "embedding" or len(shape) < 1:
+            return None
+        seg = keys[-2]
+        for f, (orig, padded) in self.table_padding.items():
+            named = seg == f or seg == f"table_{f}" or seg.endswith("_" + f)
+            if named and shape[0] in (orig, padded):
+                return orig, padded
+        return None
+
+    def depad_state(self, tree):
+        """Slice row-padded embedding tables (and their optimizer moments)
+        back to the caller-schema vocab sizes, so checkpoints on disk are
+        always in unpadded shapes — restorable by Predictor / a resume
+        with a different table_parallelism. The sliced-off rows are
+        unreachable ids (gradient-dead), so nothing trained is lost."""
+        if not self.table_padding:
+            return tree
+
+        def fix(path, leaf):
+            dims = self._padded_table_dims(path, getattr(leaf, "shape", ()))
+            if dims and dims[0] != dims[1] and leaf.shape[0] == dims[1]:
+                return leaf[: dims[0]]
+            return leaf
+
+        return jax.tree_util.tree_map_with_path(fix, tree)
+
+    def repad_state(self, tree, like):
+        """Inverse of depad_state: zero-fill the padding rows back and
+        commit each re-padded leaf to its mesh sharding (from the matching
+        leaf of ``like``, a live padded state)."""
+        if not self.table_padding:
+            return tree
+
+        def fix(path, leaf, ref):
+            dims = self._padded_table_dims(path, getattr(leaf, "shape", ()))
+            if dims and dims[0] != dims[1] and leaf.shape[0] == dims[0]:
+                pad = jnp.zeros(
+                    (dims[1] - dims[0],) + tuple(leaf.shape[1:]),
+                    jnp.asarray(leaf).dtype,
+                )
+                out = jnp.concatenate([jnp.asarray(leaf), pad], axis=0)
+                return jax.device_put(out, ref.sharding)
+            return leaf
+
+        return jax.tree_util.tree_map_with_path(fix, tree, like)
+
+    def commit_state(self, state):
+        """device_put every state leaf onto THIS trainer's mesh shardings.
+        Needed after an orbax restore: orbax places leaves with the
+        sharding recorded in the checkpoint file (the saving run's mesh),
+        which is a different cache-key/aval when resuming under a
+        different table_parallelism or device count."""
+        return jax.tree_util.tree_map(
+            jax.device_put, state, self._state_shardings
+        )
+
     # -- steps ------------------------------------------------------------
 
     def meters_init(self):

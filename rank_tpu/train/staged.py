@@ -38,6 +38,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import metrics as M
+from ..data.loader import num_rows
 
 # column spec: (key, start, width, dtype, trailing_shape)
 _Spec = Tuple[str, int, int, np.dtype, Tuple[int, ...]]
@@ -122,14 +123,12 @@ def stage(trainer, data: Dict[str, np.ndarray], batch_size: int):
     assembled via make_array_from_process_local_data (trainer
     ._host_to_device). Returns (packed device array, specs, steps) where
     steps counts GLOBAL batches of batch_size * process_count rows."""
-    steps = _agreed_steps(num_rows_of(data), batch_size)
+    steps = _agreed_steps(num_rows(data), batch_size)
     padded, steps = _pad_rows(data, batch_size, steps)
     packed, specs = pack_columns(padded)
-    return trainer._host_to_device(packed), specs, steps
-
-
-def num_rows_of(data: Dict[str, np.ndarray]) -> int:
-    return next(iter(data.values())).shape[0]
+    # padded host dict returned too so callers can reuse it (init sample,
+    # eval labels) instead of re-padding the whole dataset
+    return trainer._host_to_device(packed), specs, steps, padded
 
 
 class StagedRunner:
@@ -154,26 +153,20 @@ class StagedRunner:
         # each jitted step slices one GLOBAL batch (all hosts' rows)
         self.global_bs = batch_size * jax.process_count()
         self.steps_per_dispatch = max(1, steps_per_dispatch)
-        self.train_staged, self.train_specs, self.train_steps = stage(
-            trainer, train_data, batch_size
+        self.train_staged, self.train_specs, self.train_steps, train_padded = (
+            stage(trainer, train_data, batch_size)
         )
-        self.eval_staged, self.eval_specs, self.eval_steps = stage(
-            trainer, eval_data, batch_size
+        self.eval_staged, self.eval_specs, self.eval_steps, padded_eval = (
+            stage(trainer, eval_data, batch_size)
         )
         self._fns_built = False
         # host-side PER-HOST sample for init_state (the staged global
         # array is not addressable under multi-host); packed+unpacked so
         # dtypes match the unpacked training batches exactly
-        train_padded, _ = _pad_rows(
-            train_data, batch_size,
-            _agreed_steps(num_rows_of(train_data), batch_size),
-        )
         sample_packed, _ = pack_columns(
             {k: v[:batch_size] for k, v in train_padded.items()}
         )
         self._sample_rows = sample_packed
-        eval_steps = _agreed_steps(num_rows_of(eval_data), batch_size)
-        padded_eval, _ = _pad_rows(eval_data, batch_size, eval_steps)
         self._eval_labels = padded_eval["labels"]
         self._eval_valid = padded_eval["_valid"]
 

@@ -59,9 +59,12 @@ MODELS = (
 MULTI_TASK = ("mmoe", "ple")
 # models whose rank_tpu side must use the scalar tag lookup so the torch
 # mirror (which looks tags up as one id, like the reference) is
-# apples-to-apples
+# apples-to-apples — every tower model with a torch mirror (dcn/bst were
+# missing until round 2's review pass; their mirrors also embed
+# manual_tag_list as one scalar id)
 SCALAR_TAG_MODELS = (
     "din", "mmoe", "deepcrossing", "ple", "dien", "widedeep", "esmm",
+    "dcn", "bst",
 )
 
 

@@ -69,6 +69,56 @@ def test_import_dcn_checkpoint_into_trainer_state():
 
 
 @needs_ckpt
+def test_import_into_table_sharded_trainer():
+    """Warm-start must compose with automatic vocab padding: with
+    table_parallelism=2 the real (odd) vocab sizes are padded up one row
+    (train/loop.py), so the checkpoint rows are zero-padded on import
+    instead of crashing on a shape mismatch."""
+    pytest.importorskip("torch")
+    import jax
+
+    from rank_tpu.data.loader import ArrayLoader
+    from rank_tpu.data.synthetic import make_synthetic_dataset
+    from rank_tpu.features import WECHAT_SCHEMA
+    from rank_tpu.interop import import_reference_checkpoint
+    from rank_tpu.models import default_config
+    from rank_tpu.train import TrainConfig, Trainer
+
+    trainer = Trainer(
+        WECHAT_SCHEMA, default_config("dcn"),
+        TrainConfig(batch_size=32, log_every=0, table_parallelism=2),
+    )
+    assert trainer.table_padding  # odd real vocabs got padded
+    data = make_synthetic_dataset(WECHAT_SCHEMA, num_rows=64, seed=0)
+    loader = ArrayLoader(data, 32)
+    state = trainer.init_state(next(iter(loader)))
+
+    host_params = jax.device_get(state["params"])
+    new_params, report = import_reference_checkpoint(
+        DCN_PTH, "dcn", host_params
+    )
+    import torch
+
+    sd = torch.load(DCN_PTH, map_location="cpu", weights_only=True)
+    assert set(report) == set(sd)
+    got = np.asarray(new_params["tables"]["table_userid"]["embedding"])
+    ref = sd["embeddings.userid.weight"].numpy()
+    assert got.shape[0] > ref.shape[0]  # padded table
+    np.testing.assert_array_equal(got[: ref.shape[0]], ref)
+    np.testing.assert_array_equal(got[ref.shape[0] :], 0.0)
+
+    state["params"] = jax.device_put(
+        new_params, trainer._state_shardings["params"]
+    )
+    step_fn = trainer._get_compiled("train")
+    meters = trainer.meters_init()
+    state, meters = step_fn(
+        state, meters, trainer._host_to_device(next(iter(loader)))
+    )
+    assert np.isfinite(float(meters["loss"]))
+
+
+@needs_ckpt
 def test_import_rejects_unknown_tensors(tmp_path):
     torch = pytest.importorskip("torch")
 

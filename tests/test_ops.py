@@ -163,6 +163,53 @@ class TestMaskedSoftmax:
             np.testing.assert_allclose(got[b][mask[b]], want, rtol=1e-5)
             np.testing.assert_allclose(got[b][~mask[b]], 0.0)
 
+    def test_lowp_matches_numpy_oracle(self):
+        """Direct oracle for masked_softmax_lowp (CLAUDE.md convention:
+        every op gets a NumPy-oracle test, not only block-level bf16-vs-f32
+        comparisons): in f32 the low-precision path must reproduce the
+        exact masked softmax, including zeroed masked slots and
+        fully-masked rows -> all-zeros."""
+        from rank_tpu.ops.attention import masked_softmax_lowp, softmax_lowp
+
+        rng = np.random.default_rng(1)
+        s = rng.normal(size=(5, 9)).astype(np.float32)
+        mask = rng.random((5, 9)) > 0.3
+        mask[0] = False  # fully-masked row
+        got = np.asarray(masked_softmax_lowp(jnp.asarray(s), jnp.asarray(mask)))
+        for b in range(5):
+            if not mask[b].any():
+                np.testing.assert_allclose(got[b], 0.0)
+                continue
+            e = np.exp(s[b][mask[b]] - s[b][mask[b]].max())
+            want = e / e.sum()
+            np.testing.assert_allclose(got[b][mask[b]], want, rtol=1e-5)
+            np.testing.assert_allclose(got[b][~mask[b]], 0.0)
+        # unmasked variant (AutoInt's): plain softmax oracle
+        got_u = np.asarray(softmax_lowp(jnp.asarray(s)))
+        e = np.exp(s - s.max(axis=-1, keepdims=True))
+        np.testing.assert_allclose(
+            got_u, e / e.sum(axis=-1, keepdims=True), rtol=1e-5
+        )
+
+    def test_lowp_bf16_storage_dtype_and_closeness(self):
+        """In bf16 the storage dtype must stay bf16 end-to-end and track
+        the f32 oracle to bf16 resolution (f32 reductions inside)."""
+        from rank_tpu.ops.attention import masked_softmax_lowp
+
+        rng = np.random.default_rng(2)
+        s = rng.normal(size=(4, 8)).astype(np.float32)
+        mask = rng.random((4, 8)) > 0.2
+        got = masked_softmax_lowp(
+            jnp.asarray(s, jnp.bfloat16), jnp.asarray(mask)
+        )
+        assert got.dtype == jnp.bfloat16
+        oracle = np.asarray(
+            ops.masked_softmax(jnp.asarray(s), jnp.asarray(mask))
+        )
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), oracle, atol=2e-2
+        )
+
 
 class TestRNN:
     def _np_gru_step(self, x, h, wg, bg, wc, bc):

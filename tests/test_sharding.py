@@ -176,6 +176,78 @@ def test_explicit_embedding_modes_match_gspmd(mode):
     np.testing.assert_allclose(base, got, rtol=2e-4, atol=2e-5)
 
 
+def test_padded_checkpoints_restore_everywhere(tmp_path):
+    """Checkpoint normal form: tables saved from a table-sharded (padded)
+    run are depadded to caller-schema shapes on disk, so they restore into
+    (a) the unpadded serving Predictor, (b) a resume at the same
+    parallelism via repad_state, and (c) a table_parallelism=1 run."""
+    import jax
+
+    from rank_tpu.serve import Predictor
+    from rank_tpu.train.checkpoint import CheckpointManager
+
+    odd = tiny_schema(vocab=65, hist_len=8)
+    cfg = default_config("dcn").replace(hidden_units=(16, 8), num_cross_layers=2)
+    data = make_synthetic_dataset(odd, num_rows=128, seed=7)
+    mesh = make_mesh(table_parallelism=2)
+    trainer = Trainer(
+        odd, cfg,
+        TrainConfig(
+            batch_size=64, log_every=0, table_parallelism=2,
+            min_rows_to_shard=16,
+        ),
+        mesh=mesh,
+    )
+    assert trainer.table_padding
+    loader = ArrayLoader(data, 64)
+    batch = next(iter(loader))
+    state = trainer.init_state(batch)
+    step = trainer._get_compiled("train")
+    meters = trainer.meters_init()
+    state, meters = step(state, meters, trainer._host_to_device(batch))
+
+    mgr = CheckpointManager(str(tmp_path))
+    depadded = trainer.depad_state(state)
+    # tables on disk are caller-schema-shaped (65 rows, not 66)
+    assert depadded["params"]["tables"]["table_userid"]["embedding"].shape[0] == 65
+    mgr.save_best(depadded)
+    mgr.save_epoch(depadded, 1, {"eval_auc": 0.5, "best_auc": 0.5})
+
+    # (a) serving restore with the unpadded schema, no mesh knowledge
+    pred = Predictor(odd, cfg, model_dir=str(tmp_path), min_bucket=64)
+    probs = pred({k: v for k, v in batch.items() if k != "labels"})
+    head = next(iter(probs.values()))
+    assert np.isfinite(head).all() and head.shape[0] == 64
+
+    # (b) resume roundtrip at the same parallelism: depadded trees match
+    restored, epoch = mgr.restore_epoch(trainer.depad_state(state), 1)
+    assert epoch == 1
+    state2 = trainer.repad_state(restored, like=state)
+    a = jax.tree_util.tree_leaves(trainer.depad_state(state)["params"])
+    b = jax.tree_util.tree_leaves(state2["params"])
+    # compare on depadded content (padding rows are reinit-vs-zero)
+    b_depad = jax.tree_util.tree_leaves(trainer.depad_state(state2)["params"])
+    for x, y in zip(a, b_depad):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6)
+    assert len(a) == len(b)
+    # and the repadded state still trains
+    state2, meters = step(state2, trainer.meters_init(),
+                          trainer._host_to_device(batch))
+    assert np.isfinite(float(meters["loss"]))
+
+    # (c) a table_parallelism=1 run restores directly (no padding at all)
+    t1 = Trainer(odd, cfg, TrainConfig(batch_size=64, log_every=0))
+    s1 = t1.init_state(batch)
+    assert not t1.table_padding
+    restored1, _ = mgr.restore_epoch(t1.depad_state(s1), 1)
+    emb1 = np.asarray(restored1["params"]["tables"]["table_userid"]["embedding"])
+    np.testing.assert_allclose(
+        emb1,
+        np.asarray(trainer.depad_state(state)["params"]["tables"]["table_userid"]["embedding"]),
+        atol=1e-6,
+    )
+
+
 def test_graft_entry_contract():
     import importlib.util, pathlib
 

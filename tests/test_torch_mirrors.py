@@ -51,27 +51,19 @@ def _args_for(name, inputs):
         return (dense, cats, feedid, seq[:, :HIST_LEN], lengths)
     if name in ("mmoe", "ple"):
         return (dense, cats, feedid)
-    if name in ("afm", "xdeepfm"):
+    if name in ("afm", "xdeepfm", "pnn", "widedeep", "fibinet", "autoint",
+                "flen"):
+        # cats already holds a valid manual_tag_list (EMB_DIMS includes it);
+        # feedid fills the one AFM field missing from EMB_DIMS
         afm_cats = {
             k: (cats[k] if k in cats else feedid) for k in AFM_FIELDS
         }
-        afm_cats["manual_tag_list"] = torch.randint(
-            0, VOCABS["manual_tag_list"], (B,)
-        )
-        return (dense, afm_cats)
+        return (afm_cats,) if name == "pnn" else (dense, afm_cats)
     if name in ("deepfm", "fwfm", "ffm"):
         fm_cats = {
             k: (cats[k] if k in cats else feedid) for k in FM_FIELDS
         }
         return (fm_cats,)
-    if name in ("pnn", "widedeep", "fibinet", "autoint", "flen"):
-        afm_cats = {
-            k: (cats[k] if k in cats else feedid) for k in AFM_FIELDS
-        }
-        afm_cats["manual_tag_list"] = torch.randint(
-            0, VOCABS["manual_tag_list"], (B,)
-        )
-        return (afm_cats,) if name == "pnn" else (dense, afm_cats)
     if name == "esmm":
         return (dense, cats, feedid)
     raise AssertionError(name)
