@@ -1,0 +1,78 @@
+"""Regenerate PARITY_RESULTS.md from PARITY_RESULTS.jsonl.
+
+The jsonl is append-only (scripts/parity_check.py --json_out); the LATEST
+row per model wins, so re-running a model after a methodology fix
+supersedes its old row. Keeps the table and the jsonl from drifting.
+
+Run: python scripts/parity_table.py [--jsonl PARITY_RESULTS.jsonl]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+HEADER = """# Quality head-to-heads: rank_tpu (TPU) vs reference-faithful torch (CPU)
+
+Identical synthetic data (200k rows, WeChat schema, seed 0), identical
+hyperparameters (each model's reference best-config defaults), Adam lr
+0.005, batch 1024, 3 epochs. Torch mirrors live in `bench.py` with
+`file:line` reference citations; runner: `scripts/parity_check.py
+--model all --json_out ...`. Latest run per model (regenerate this file
+with `python scripts/parity_table.py`). Full 18-model zoo covered.
+
+| Model | rank_tpu eval AUC | torch eval AUC | delta | ours train s | torch train s |
+|---|---|---|---|---|---|
+"""
+
+NOTES = """
+Notes:
+- every tower-model pair uses the same manual_tag representation on both
+  sides (scalar lookup, parity_check SCALAR_TAG_MODELS) and identical
+  architectures; remaining deltas are init/framework-numerics noise.
+- deepfm/fwfm/ffm/pnn's low absolute AUCs on BOTH sides are the expected
+  feature-subset property (categorical-only models; the synthetic signal
+  lives mostly in the dense features) — matched by torch, so parity
+  holds. Same for afm (no dense tower) and xdeepfm (CIN needs more
+  epochs).
+- esmm's AUC is the CTR head (read_comment); its CTCVR head AUCs are
+  printed by the runner.
+- times are wall-clock including compile; the TPU tunnel adds
+  100-400 s of compile+transfer per model (docs/REPRODUCING.md §5).
+"""
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--jsonl", default="PARITY_RESULTS.jsonl")
+    ap.add_argument("--out", default="PARITY_RESULTS.md")
+    args = ap.parse_args()
+
+    rows = {}
+    with open(args.jsonl) as f:
+        for line in f:
+            if line.strip():
+                r = json.loads(line)
+                rows[r["model"]] = r  # latest wins
+
+    lines = [HEADER]
+    for name in sorted(rows):
+        r = rows[name]
+        lines.append(
+            f"| {name} | {r['ours']:.5f} | {r['torch']:.5f} | "
+            f"{r['delta']:+.5f} | {r['t_ours']:.0f} | {r['t_torch']:.0f} |\n"
+        )
+    lines.append(NOTES)
+    with open(args.out, "w") as f:
+        f.writelines(lines)
+    deltas = [rows[m]["delta"] for m in rows]
+    pos = sum(d > 0 for d in deltas)
+    print(
+        f"wrote {args.out}: {len(rows)} models, {pos} positive deltas, "
+        f"range [{min(deltas):+.4f}, {max(deltas):+.4f}]"
+    )
+
+
+if __name__ == "__main__":
+    main()
