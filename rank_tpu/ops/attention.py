@@ -104,11 +104,11 @@ class DINAttention(nn.Module):
 
         backend = self.backend
         if backend == "auto":
-            # Measured on TPU v5e (batch 8192, T=50, D=16): the XLA-fused
-            # jnp path runs ~0.7-1.1 ms/call vs ~2.2 ms for the Pallas
-            # kernel — at these tiny feature dims (16 lanes of 128) XLA's
-            # fusion wins, so 'auto' prefers jnp. The kernel becomes
-            # profitable at larger D; select it explicitly for such configs.
+            # Measured on TPU v5e (batch 8192, T=50, scripts/
+            # bench_din_dims.py): the XLA-fused jnp path wins at every
+            # dim tried (D=16/64/128, forward and fwd+bwd), so 'auto'
+            # always resolves to jnp. The kernel stays available via
+            # backend='pallas' as a tested pattern, not a fast path.
             backend = "jnp"
         if backend == "pallas":
             from .pallas.din_attention import din_attention_fused

@@ -16,13 +16,17 @@ the kernel is the serving/eval fast path and the forward of training.
 T is padded to a multiple of 8 sublanes on the host side; padded keys are
 masked out by the existing length mask.
 
-Honest benchmark (TPU v5e, batch 8192, T=50, D=16): this kernel runs
-~2.2 ms/call vs ~0.7-1.1 ms for the XLA-fused jnp path — at D=16 every
-VMEM tile uses 16 of 128 lanes and XLA's automatic fusion is already
-near-optimal, so ``DINAttention(backend='auto')`` selects jnp. The kernel
-is kept as a correct, tested building block for larger-D configs (where
-the (B*T, 4D) matmuls become MXU-bound and fusion into one VMEM pass
-pays) and as the pattern for future fused-serving work.
+Honest benchmark (TPU v5e, batch 8192, T=50; scripts/bench_din_dims.py,
+interleaved A/B, round 2): the XLA-fused jnp path wins at EVERY measured
+dim, both forms. Forward-only (the kernel's intended serving role):
+D=16 jnp 1.66 ms vs kernel 3.06 ms (0.54x); D=64 2.13 vs 3.10 (0.69x);
+D=128 2.81 vs 3.46 (0.81x). Training fwd+bwd: 0.69-0.74x at D>=64. The
+earlier hypothesis that the kernel becomes profitable at larger D is
+REFUTED — the gap narrows with D but never crosses 1 up to D=128, so
+``DINAttention(backend='auto')`` always selects jnp. The kernel is kept
+as a correct, interpret-mode-tested Pallas pattern (fused cross-feature
++ 3-matmul + masked-softmax pooling in one VMEM pass), not as a
+dispatched fast path.
 """
 
 from __future__ import annotations
