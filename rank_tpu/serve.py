@@ -39,7 +39,14 @@ class Predictor:
         model_dir: Optional[str] = None,
         variables: Optional[Dict] = None,
         min_bucket: int = 256,
+        weights_dtype: Optional[str] = None,
     ):
+        """``weights_dtype='bfloat16'`` casts the float32 PARAMS (not the
+        BatchNorm running statistics) after restore: halves the weight
+        HBM footprint and the embedding-gather read traffic — the
+        serving-side analog of the training path's bf16 internals. Dense
+        compute promotes back to f32 at the first matmul, so outputs
+        track the f32 predictor to bf16 resolution (tested)."""
         self.schema = schema
         self.model_cfg = model_cfg
         self.model = build_model(schema, model_cfg)
@@ -71,6 +78,14 @@ class Predictor:
             mgr = CheckpointManager(model_dir)
             state = mgr.restore_best(state)
             variables = {"params": state["params"], **state["extra"]}
+        if weights_dtype is not None:
+            wd = jnp.dtype(weights_dtype)
+            variables = dict(variables)
+            variables["params"] = jax.tree_util.tree_map(
+                lambda x: x.astype(wd)
+                if jnp.asarray(x).dtype == jnp.float32 else x,
+                variables["params"],
+            )
         self.variables = variables
 
         def apply_fn(variables, batch):

@@ -27,6 +27,8 @@ def main(argv=None):
     ap.add_argument("--model", default="dcn")
     ap.add_argument("--repeats", type=int, default=30)
     ap.add_argument("--sizes", default="1,64,256,4096")
+    ap.add_argument("--weights_dtype", default=None,
+                    help="e.g. bfloat16: cast f32 params (serve.py)")
     args = ap.parse_args(argv)
 
     from rank_tpu.data.synthetic import make_synthetic_dataset
@@ -50,7 +52,8 @@ def main(argv=None):
             train=False,
         )
     )
-    pred = Predictor(WECHAT_SCHEMA, cfg, variables=variables, min_bucket=1)
+    pred = Predictor(WECHAT_SCHEMA, cfg, variables=variables, min_bucket=1,
+                     weights_dtype=args.weights_dtype)
 
     sizes = [int(s) for s in args.sizes.split(",")]
     data = make_synthetic_dataset(WECHAT_SCHEMA, num_rows=max(sizes), seed=1)
@@ -68,7 +71,8 @@ def main(argv=None):
         print(
             json.dumps(
                 {
-                    "metric": f"serving_latency_{args.model}_bs{n}",
+                    "metric": f"serving_latency_{args.model}_bs{n}"
+                    + (f"_{args.weights_dtype}" if args.weights_dtype else ""),
                     "p50_ms": round(p50 * 1e3, 3),
                     "p90_ms": round(p90 * 1e3, 3),
                     "examples_per_s_at_p50": round(n / p50, 1),

@@ -35,6 +35,44 @@ def test_predictor_matches_eval(tmp_path):
     np.testing.assert_allclose(got[:n_valid], want[:n_valid], rtol=1e-5, atol=1e-6)
 
 
+def test_predictor_bf16_weights_track_f32(tmp_path):
+    """weights_dtype='bfloat16' (halved weight/gather traffic for serving)
+    must keep probabilities within bf16 resolution of the f32 predictor,
+    and must NOT cast the BatchNorm running statistics."""
+    import jax.numpy as jnp
+
+    cfg = default_config("dcn").replace(hidden_units=(16, 8), num_cross_layers=2)
+    trainer = Trainer(SCHEMA, cfg, TrainConfig(batch_size=128, log_every=0))
+    loader = ArrayLoader(TRAIN, 128, shuffle=True)
+    state = trainer.init_state(next(iter(loader)))
+    state, _ = trainer.train_epoch(state, loader, 1)
+    mgr = CheckpointManager(str(tmp_path))
+    mgr.save_best(state)
+
+    req = {k: v for k, v in TEST.items() if k != "labels"}
+    f32 = Predictor(SCHEMA, cfg, model_dir=str(tmp_path), min_bucket=64)
+    bf16 = Predictor(
+        SCHEMA, cfg, model_dir=str(tmp_path), min_bucket=64,
+        weights_dtype="bfloat16",
+    )
+    import jax
+
+    assert all(
+        x.dtype == jnp.bfloat16
+        for x in jax.tree_util.tree_leaves(bf16.variables["params"])
+        if jnp.asarray(x).dtype != jnp.int32
+    )
+    if "batch_stats" in bf16.variables:
+        assert all(
+            jnp.asarray(x).dtype == jnp.float32
+            for x in jax.tree_util.tree_leaves(bf16.variables["batch_stats"])
+        )
+    a = f32(req)["score"]
+    b = bf16(req)["score"]
+    np.testing.assert_allclose(a, b, atol=2e-2)
+    assert np.isfinite(b).all()
+
+
 def test_predictor_odd_batch_sizes(tmp_path):
     cfg = default_config("deepfm").replace(hidden_units=(8,), embedding_dim=4)
     trainer = Trainer(SCHEMA, cfg, TrainConfig(batch_size=128, log_every=0))
