@@ -59,16 +59,16 @@ def bench_jax(model_name: str) -> float:
     float(meters["loss"])  # true fence: block_until_ready does not wait
     # for still-queued dispatches on this backend (see REPRODUCING.md §5)
 
-    # median of 3 timed repeats — throughput through the shared tunnel is
+    # median of 5 timed repeats — throughput through the shared tunnel is
     # noisy, and a transiently-degraded window shouldn't define the number
     times = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         for i in range(JAX_STEPS):
             state, meters = step_fn(state, meters, batches[i % 4])
         float(meters["loss"])  # honest end-of-window fence
         times.append(time.perf_counter() - t0)
-    dt = sorted(times)[1]
+    dt = sorted(times)[len(times) // 2]
     return BATCH_JAX * JAX_STEPS / dt
 
 
