@@ -53,12 +53,17 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", required=True, choices=sorted(SWEEPS))
     ap.add_argument("--out", default="sweep_results.json")
+    ap.add_argument("--limit", type=int, default=0,
+                    help="run only the first N grid cells (smoke)")
     args, passthrough = ap.parse_known_args()
 
     grid = SWEEPS[args.model]
     keys = sorted(grid)
     results = []
-    for values in itertools.product(*(grid[k] for k in keys)):
+    cells = list(itertools.product(*(grid[k] for k in keys)))
+    if args.limit:
+        cells = cells[: args.limit]
+    for values in cells:
         overrides = dict(zip(keys, values))
         cmd = [sys.executable, "-m", "rank_tpu.cli", f"--model={args.model}"]
         cmd += [f"--{k}={v}" for k, v in overrides.items()]
