@@ -162,6 +162,31 @@ def _load_split(path: str, schema, vocab_dir):
     return encode_dataframe(df, schema, vocab_dir)
 
 
+def _restore_normal_form(trainer, state, what, restore_fn):
+    """Restore a checkpoint saved in the depadded normal form (table rows
+    at caller-schema vocab sizes, ``Trainer.depad_state``), re-pad for
+    this run's mesh, and commit to this trainer's shardings.
+
+    Falls back to a PADDED template for legacy checkpoints written by
+    table-sharded runs before the normal form landed (their tables were
+    saved with mesh padding), naming the format change so the failure
+    mode is not a bare orbax shape mismatch."""
+    try:
+        restored = restore_fn(trainer.depad_state(state))
+        return trainer.commit_state(trainer.repad_state(restored, like=state))
+    except Exception as e:
+        if not trainer.table_padding:
+            raise
+        print(
+            f"[checkpoint] restoring {what} with a depadded template failed "
+            f"({type(e).__name__}); retrying with the padded template — "
+            "this checkpoint likely predates the depadded normal form "
+            "(tables saved WITH mesh padding). It only restores under the "
+            "same table_parallelism; re-save from this run to migrate."
+        )
+        return trainer.commit_state(restore_fn(state))
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
@@ -243,6 +268,7 @@ def main(argv=None) -> int:
         new_params, report = import_reference_checkpoint(
             args.init_from_reference, args.model,
             jax.device_get(state["params"]),
+            table_padding=trainer.table_padding,
         )
         state["params"] = jax.device_put(
             new_params, trainer._state_shardings["params"]
@@ -258,22 +284,36 @@ def main(argv=None) -> int:
     if args.resume and mgr.latest_epoch() is not None:
         # checkpoints on disk are in unpadded (caller-schema) table shapes
         # (Trainer.depad_state); restore via a depadded template, then
-        # re-pad for this run's mesh
-        restored, epoch = mgr.restore_epoch(
-            trainer.depad_state(state), mgr.latest_epoch()
-        )
-        # re-pad for this run's mesh, then commit every leaf to this
+        # re-pad for this run's mesh and commit every leaf to this
         # trainer's shardings (orbax restores with the file's shardings,
         # which may come from a different mesh/table_parallelism)
-        state = trainer.commit_state(trainer.repad_state(restored, like=state))
+        epoch = mgr.latest_epoch()
+        restored = _restore_normal_form(
+            trainer, state, f"checkpoint_epoch_{epoch}",
+            lambda tpl: mgr.restore_epoch(tpl, epoch)[0],
+        )
+        state = restored
         start_epoch = epoch + 1
         best_auc = mgr.epoch_metrics(epoch).get("best_auc", 0.0)
         print(f"resumed from checkpoint_epoch_{epoch} (best_auc={best_auc:.4f})")
 
+    # streaming loaders keep the remainder batch (pad + _valid mask, like
+    # eval — up to batch_size-1 rows per epoch trained nowhere before) and
+    # agree on a cross-process batch count so unequal multi-host shards
+    # still run the same number of collective steps
+    from .data.loader import num_rows as _num_rows
+    from .train.staged import _agreed_steps
+
+    train_batches = _agreed_steps(_num_rows(train_data), per_host_bs)
+    eval_batches = _agreed_steps(_num_rows(eval_data), per_host_bs)
+
     def run_eval(epoch):
         if runner is not None:
             return runner.evaluate(state, epoch)
-        loader = ArrayLoader(eval_data, per_host_bs, drop_remainder=False)
+        loader = ArrayLoader(
+            eval_data, per_host_bs, drop_remainder=False,
+            num_batches=eval_batches,
+        )
         return trainer.evaluate(state, loader, epoch)
 
     import json
@@ -286,7 +326,9 @@ def main(argv=None) -> int:
             state, train_stats = runner.train_epoch(state, epoch, train_cfg.seed)
         else:
             loader = ArrayLoader(
-                train_data, per_host_bs, shuffle=True, seed=train_cfg.seed + epoch
+                train_data, per_host_bs, shuffle=True,
+                seed=train_cfg.seed + epoch, drop_remainder=False,
+                num_batches=train_batches,
             )
             state, train_stats = trainer.train_epoch(state, loader, epoch)
         stats = run_eval(epoch)
@@ -313,9 +355,7 @@ def main(argv=None) -> int:
 
     # reload best, export predictions (deepfm.py:273-293)
     if mgr.has_best():
-        state = trainer.commit_state(trainer.repad_state(
-            mgr.restore_best(trainer.depad_state(state)), like=state
-        ))
+        state = _restore_normal_form(trainer, state, "best_model", mgr.restore_best)
     stats = run_eval(args.num_epochs)
     primary = "ctr" if "ctr" in stats["predictions"] else next(iter(trainer.label_cols))
     preds = stats["predictions"][primary]

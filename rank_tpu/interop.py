@@ -28,7 +28,12 @@ REFERENCE_FIELDS = (
 )
 
 
-def _set_path(params: Dict, path: Tuple[str, ...], value: np.ndarray) -> None:
+def _set_path(
+    params: Dict,
+    path: Tuple[str, ...],
+    value: np.ndarray,
+    table_padding: Dict[str, Tuple[int, int]] | None = None,
+) -> None:
     node = params
     for key in path[:-1]:
         node = node[key]
@@ -38,22 +43,34 @@ def _set_path(params: Dict, path: Tuple[str, ...], value: np.ndarray) -> None:
     have = tuple(np.shape(node[leaf]))
     want = tuple(value.shape)
     if have != want:
+        # A row deficit is acceptable ONLY when it is exactly the mesh
+        # padding the Trainer applied (features.padded_for_table_sharding):
+        # the caller passes its table_padding map {feature: (orig, padded)}
+        # and we zero-fill only when the checkpoint has the original row
+        # count and the flax table the known padded one. Any other deficit
+        # (e.g. a checkpoint built against a smaller vocab file) would make
+        # REACHABLE ids silently untrained — fail loudly instead.
+        feature = path[-2][len("table_"):] if path[-2].startswith("table_") else path[-2]
+        known = (table_padding or {}).get(feature)
         if (
             leaf == "embedding"
-            and len(have) == len(want)
             and have[1:] == want[1:]
-            and have[0] > want[0]
+            and known is not None
+            and (want[0], have[0]) == known
         ):
-            # the Trainer padded this table's rows up to the mesh
-            # table-axis multiple (features.padded_for_table_sharding);
-            # padding rows are unreachable ids — zero-fill them
             value = np.concatenate(
                 [value, np.zeros((have[0] - want[0],) + want[1:], value.dtype)],
                 axis=0,
             )
         else:
             raise ValueError(
-                f"shape mismatch at {'/'.join(path)}: flax {have} vs import {want}"
+                f"shape mismatch at {'/'.join(path)}: flax {have} vs import "
+                f"{want}"
+                + (
+                    ""
+                    if known is None
+                    else f" (known mesh padding for {feature!r} is {known})"
+                )
             )
     import jax.numpy as jnp
 
@@ -85,14 +102,23 @@ def reference_mapping(model_name: str) -> Dict[str, Tuple[Tuple[str, ...], bool]
 
 
 def import_reference_checkpoint(
-    path: str, model_name: str, params: Dict
+    path: str,
+    model_name: str,
+    params: Dict,
+    table_padding: Dict[str, Tuple[int, int]] | None = None,
 ) -> Tuple[Dict, Dict[str, str]]:
     """Load a reference ``best_model.pth`` and copy its tensors into a
     flax ``params`` tree (mutated copy returned). Returns
     (params, report) where report maps every checkpoint tensor to the
     flax path it landed on. Raises if any checkpoint tensor has no home
     or a shape mismatch — a silent partial import would be worse than an
-    error."""
+    error.
+
+    ``table_padding`` is the Trainer's {feature: (orig_rows, padded_rows)}
+    map; pass ``trainer.table_padding`` when importing into a
+    table-sharded run so the mesh-padded tables accept the unpadded
+    checkpoint rows (padding rows are unreachable ids, zero-filled). Any
+    row deficit NOT matching that map raises."""
     import copy
 
     import torch
@@ -110,6 +136,6 @@ def import_reference_checkpoint(
         t = sd[ref_key].numpy()
         if transpose:
             t = t.T
-        _set_path(params, flax_path, t)
+        _set_path(params, flax_path, t, table_padding)
         report[ref_key] = "/".join(flax_path)
     return params, report

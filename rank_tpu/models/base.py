@@ -72,6 +72,9 @@ class ModelConfig:
     # bfloat16 measured +2.7% model throughput in an interleaved A/B
     # (scripts/bench_bst_scoredtype.py, 311.8k -> 320.1k ex/s) with
     # op-level parity tests; set "float32" for bit-exact score storage.
+    # NOTE AutoInt's interacting-layer softmax storage consumes the same
+    # field (cross_family.py AutoInt; measured only on BST — AutoInt
+    # inherits the flip, its bf16 path is parity-tested in test_models).
     transformer_score_dtype: str = "bfloat16"
     # xDeepFM
     cin_layer_sizes: Tuple[int, ...] = (128, 128)

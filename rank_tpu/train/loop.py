@@ -203,6 +203,21 @@ class Trainer:
                     f"{k}: {a}->{b}" for k, (a, b) in self.table_padding.items()
                 )
                 print(f"[sharding] padded vocab rows to table={table_axis_size} multiple: {pads}")
+                # _padded_table_dims matches table modules by name suffix
+                # ("_" + feature); if one padded feature's name were a
+                # suffix of another's, a module of the longer feature
+                # would also match the shorter one and depad/repad could
+                # silently pick the wrong dims. Refuse that schema here
+                # rather than mis-slice a checkpoint later.
+                for f1 in self.table_padding:
+                    for f2 in self.table_padding:
+                        if f1 != f2 and (f2.endswith("_" + f1) or f2 == "table_" + f1):
+                            raise ValueError(
+                                f"padded feature name {f1!r} is a suffix of "
+                                f"{f2!r}: table-module suffix matching in "
+                                "_padded_table_dims would be ambiguous — "
+                                "rename one feature"
+                            )
         self.schema = schema
         # tables the explicit embedding schedules (embedding_mode psum/
         # alltoall) may shard_map over — same decision rule as _pick in
@@ -618,6 +633,7 @@ class Trainer:
             "loss": loss_sum / max(nsteps, 1),
             "accuracy": correct / max(count, 1),
             "auc": train_auc,
+            "count": count,  # _valid rows actually trained this epoch
             "examples_per_s": count / max(time.time() - t0, 1e-9),
         }
         if not np.isfinite(out["loss"]):

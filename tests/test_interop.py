@@ -94,8 +94,13 @@ def test_import_into_table_sharded_trainer():
     state = trainer.init_state(next(iter(loader)))
 
     host_params = jax.device_get(state["params"])
+    # a bare import (no table_padding map) must refuse the row deficit:
+    # without knowing the mesh padding, a smaller checkpoint table could
+    # mean a different vocab file, and zero-filled rows would be REACHABLE
+    with pytest.raises(ValueError, match="shape mismatch"):
+        import_reference_checkpoint(DCN_PTH, "dcn", host_params)
     new_params, report = import_reference_checkpoint(
-        DCN_PTH, "dcn", host_params
+        DCN_PTH, "dcn", host_params, table_padding=trainer.table_padding
     )
     import torch
 
@@ -116,6 +121,40 @@ def test_import_into_table_sharded_trainer():
         state, meters, trainer._host_to_device(next(iter(loader)))
     )
     assert np.isfinite(float(meters["loss"]))
+
+
+@needs_ckpt
+def test_import_rejects_non_padding_row_deficit(tmp_path):
+    """A checkpoint whose table is smaller for any reason OTHER than the
+    known mesh padding (e.g. built against an older/smaller vocab file)
+    must fail loudly, not zero-fill reachable ids (ADVICE r2 #1)."""
+    torch = pytest.importorskip("torch")
+    import jax
+
+    from rank_tpu.data.loader import ArrayLoader
+    from rank_tpu.data.synthetic import make_synthetic_dataset
+    from rank_tpu.features import WECHAT_SCHEMA
+    from rank_tpu.interop import import_reference_checkpoint
+    from rank_tpu.models import default_config
+    from rank_tpu.train import TrainConfig, Trainer
+
+    trainer = Trainer(
+        WECHAT_SCHEMA, default_config("dcn"),
+        TrainConfig(batch_size=32, log_every=0, table_parallelism=2),
+    )
+    data = make_synthetic_dataset(WECHAT_SCHEMA, num_rows=64, seed=0)
+    state = trainer.init_state(next(iter(ArrayLoader(data, 32))))
+    host_params = jax.device_get(state["params"])
+
+    sd = torch.load(DCN_PTH, map_location="cpu", weights_only=True)
+    # shrink userid by one row: deficit no longer equals the mesh padding
+    sd["embeddings.userid.weight"] = sd["embeddings.userid.weight"][:-1]
+    bad = tmp_path / "smaller_vocab.pth"
+    torch.save(sd, bad)
+    with pytest.raises(ValueError, match="known mesh padding"):
+        import_reference_checkpoint(
+            str(bad), "dcn", host_params, table_padding=trainer.table_padding
+        )
 
 
 @needs_ckpt
