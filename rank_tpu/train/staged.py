@@ -24,9 +24,17 @@ Rationale (measured on the v5e chip, batch 4096):
 Shuffling semantics match the reference DataLoader(shuffle=True)
 (deepfm.py:222-227): a fresh uniform row permutation every epoch.
 
-Multi-device note: under a >1-device 'data' axis the epoch permutation
-gather crosses shard boundaries and GSPMD inserts collectives; the
-streaming path remains for multi-host input sharding.
+Multi-device layout (block-interleaved): the staged matrix is sharded
+P('data') over rows, so a contiguous global slice [i*gbs, (i+1)*gbs)
+lives on ONE data shard and GSPMD would redistribute it to every device
+each step. Instead the per-epoch shuffle writes its output
+BLOCK-INTERLEAVED — the rows of step i are placed at offset i*bpd inside
+every device's shard (``_interleave_index``) — and each step slices the
+(D, N/D, W)-viewed matrix along the UNSHARDED axis 1: a purely local
+dynamic_slice, zero per-step collectives. The interleave map is composed
+into the (already cross-shard) once-per-epoch permutation gather, so
+step batches are bit-identical to the naive contiguous layout. Eval data
+gets the same treatment via a one-time reorder at staging.
 """
 
 from __future__ import annotations
@@ -101,6 +109,21 @@ def unpack_columns(packed: jnp.ndarray, specs: List[_Spec]):
             col = col.astype(dtype)
         out[k] = col.reshape((b,) + tuple(trailing))
     return out
+
+
+def _interleave_index(n: int, gbs: int, d_data: int) -> jnp.ndarray:
+    """sigma: new (block-interleaved) global position -> old (contiguous)
+    global position, such that ``A = old[sigma]`` puts step i's rows
+    [i*gbs, (i+1)*gbs) at offset i*(gbs/D) inside EVERY data shard of A,
+    in device-major order. Slicing A.reshape(D, N/D, W) at
+    [:, i*bpd:(i+1)*bpd] then reproduces the old contiguous batch rows in
+    their old order. Pure iota arithmetic — fuses into the epoch gather."""
+    bpd = gbs // d_data
+    shard = n // d_data
+    g = jnp.arange(n, dtype=jnp.int32)
+    d, r = g // shard, g % shard
+    i, k = r // bpd, r % bpd
+    return i * gbs + d * bpd + k
 
 
 def _agreed_steps(n_local: int, batch_size: int) -> int:
@@ -181,8 +204,19 @@ class StagedRunner:
     def _build(self):
         if self._fns_built:
             return
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import DATA_AXIS
+
         tr = self.trainer
         bs = self.global_bs
+        d_data = tr.mesh.shape[DATA_AXIS]
+        if bs % d_data:
+            raise ValueError(
+                f"global batch {bs} not divisible by data-axis size {d_data}"
+            )
+        bpd = bs // d_data  # rows per data shard per step
+        sh3 = NamedSharding(tr.mesh, P(DATA_AXIS, None, None))
 
         spd = min(self.steps_per_dispatch, self.train_steps)
         # prefer a divisor of train_steps (down to half the requested
@@ -195,12 +229,17 @@ class StagedRunner:
         self.steps_per_dispatch = spd
 
         def make_train_fn(n_unrolled):
-            def train_steps(state, meters, shuffled, i0):
-                # unrolled python loop: one program, n sequential steps;
-                # contiguous slices of the pre-shuffled packed matrix
+            def train_steps(state, meters, shuffled3, i0):
+                # unrolled python loop: one program, n sequential steps.
+                # shuffled3 is the block-interleaved (D, N/D, W) view,
+                # sharded on axis 0 — each step's slice along axis 1 is
+                # process-local (no per-step GSPMD redistribution)
                 for k in range(n_unrolled):
                     rows = jax.lax.dynamic_slice_in_dim(
-                        shuffled, (i0 + k) * bs, bs, axis=0
+                        shuffled3, (i0 + k) * bpd, bpd, axis=1
+                    )
+                    rows = jax.lax.with_sharding_constraint(
+                        rows.reshape(bs, rows.shape[-1]), tr._batch_sharding
                     )
                     batch = unpack_columns(rows, self.train_specs)
                     state, meters = tr._train_step(state, meters, batch)
@@ -209,7 +248,7 @@ class StagedRunner:
             return jax.jit(
                 train_steps,
                 donate_argnums=(0, 1),
-                in_shardings=(tr._state_shardings, None, None, None),
+                in_shardings=(tr._state_shardings, None, sh3, None),
                 out_shardings=(tr._state_shardings, None),
             )
 
@@ -218,24 +257,47 @@ class StagedRunner:
         self._train_step_rem = make_train_fn(rem) if rem else None
         self._rem_steps = rem
 
-        def eval_step(state, loss_acc, data, i):
-            rows = jax.lax.dynamic_slice_in_dim(data, i * bs, bs, axis=0)
+        def eval_step(state, loss_acc, data3, i):
+            rows = jax.lax.dynamic_slice_in_dim(data3, i * bpd, bpd, axis=1)
+            rows = jax.lax.with_sharding_constraint(
+                rows.reshape(bs, rows.shape[-1]), tr._batch_sharding
+            )
             batch = unpack_columns(rows, self.eval_specs)
             return tr._eval_step(state, loss_acc, batch)
 
         self._eval_step = jax.jit(
             eval_step,
-            in_shardings=(tr._state_shardings, tr._repl, None, None),
+            in_shardings=(tr._state_shardings, tr._repl, sh3, None),
             donate_argnums=(1,),
         )
         n = self.train_steps * bs
+
         # one row gather per epoch over the packed matrix: each row moves
-        # once (the gather row-rate is the scarce resource, see module doc)
-        self._shuffle_fn = jax.jit(
-            lambda data, seed: jnp.take(
-                data, jax.random.permutation(jax.random.PRNGKey(seed), n), axis=0
+        # once (the gather row-rate is the scarce resource, see module
+        # doc). The block-interleave map is composed into the gather
+        # indices — same single collective gather, but the output lands
+        # pre-interleaved so every train step is shard-local.
+        def shuffle(data, seed):
+            perm = jax.random.permutation(jax.random.PRNGKey(seed), n)
+            idx = jnp.take(perm, _interleave_index(n, bs, d_data))
+            out = jnp.take(data, idx, axis=0)
+            return jax.lax.with_sharding_constraint(
+                out.reshape(d_data, n // d_data, data.shape[-1]), sh3
             )
-        )
+
+        self._shuffle_fn = jax.jit(shuffle)
+
+        # eval is unshuffled: apply the interleave reorder ONCE at build
+        # (a single cross-shard gather per run, like one epoch shuffle)
+        n_ev = self.eval_steps * bs
+
+        def interleave_eval(data):
+            out = jnp.take(data, _interleave_index(n_ev, bs, d_data), axis=0)
+            return jax.lax.with_sharding_constraint(
+                out.reshape(d_data, n_ev // d_data, data.shape[-1]), sh3
+            )
+
+        self._eval_staged3 = jax.jit(interleave_eval)(self.eval_staged)
         self._fns_built = True
 
     # -- epochs ----------------------------------------------------------
@@ -267,6 +329,7 @@ class StagedRunner:
             "auc": float(M.auc_state_result(
                 {"pos": meters["pos"], "neg": meters["neg"]}
             )),
+            "count": count,  # _valid rows actually trained this epoch
             "examples_per_s": count / max(dt, 1e-9),
         }
         print(
@@ -282,7 +345,7 @@ class StagedRunner:
         loss_acc = jax.device_put(jnp.zeros(()), self.trainer._repl)
         chunks: Dict[str, list] = {}
         for i in range(self.eval_steps):
-            loss_acc, probs = self._eval_step(state, loss_acc, self.eval_staged, i)
+            loss_acc, probs = self._eval_step(state, loss_acc, self._eval_staged3, i)
             for k, v in probs.items():
                 chunks.setdefault(k, []).append(v)
         # multi-host-safe fetches: predictions are globally sharded jax
