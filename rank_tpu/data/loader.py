@@ -40,9 +40,16 @@ class ArrayLoader:
     """Batched iteration over a dict-of-arrays dataset.
 
     ``drop_remainder=False`` pads the final short batch by repeating row 0
-    and reports the true count via the ``_valid`` mask key, so eval covers
-    every row (the reference evaluates all 609,037 test rows) while every
-    step keeps the same static shape.
+    and reports the true count via the ``_valid`` mask key, so eval — and
+    since round 3, streaming TRAINING too (the loss/metrics all weight by
+    ``_valid``, so padding rows contribute zero gradient) — covers every
+    row, matching the reference DataLoader's keep-last default
+    (``deepfm.py:222-227``), while every step keeps the same static shape.
+
+    ``num_batches`` (only with ``drop_remainder=False``) pads the epoch
+    with additional fully-invalid batches up to an agreed count: under
+    multi-host, processes with unequal shard sizes must still run the
+    same number of (collective) steps.
     """
 
     def __init__(
@@ -52,6 +59,7 @@ class ArrayLoader:
         shuffle: bool = False,
         seed: int = 42,
         drop_remainder: bool = True,
+        num_batches: Optional[int] = None,
     ):
         self.data = data
         self.batch_size = batch_size
@@ -59,8 +67,19 @@ class ArrayLoader:
         self.drop_remainder = drop_remainder
         self._rng = np.random.default_rng(seed)
         self.n = num_rows(data)
+        if num_batches is not None:
+            if drop_remainder:
+                raise ValueError("num_batches requires drop_remainder=False")
+            if num_batches < -(-self.n // batch_size):
+                raise ValueError(
+                    f"num_batches={num_batches} cannot cover "
+                    f"{self.n} rows at batch_size={batch_size}"
+                )
+        self.num_batches = num_batches
 
     def __len__(self) -> int:
+        if self.num_batches is not None:
+            return self.num_batches
         if self.drop_remainder:
             return self.n // self.batch_size
         return -(-self.n // self.batch_size)
@@ -72,10 +91,12 @@ class ArrayLoader:
         bs = self.batch_size
         num_full = self.n // bs
         take = native.take_rows  # threaded memcpy gather (numpy if no lib)
+        emitted = 0
         for i in range(num_full):
             idx = order[i * bs : (i + 1) * bs]
             batch = {k: take(v, idx) for k, v in self.data.items()}
             batch["_valid"] = np.ones((bs,), np.float32)
+            emitted += 1
             yield batch
         rem = self.n - num_full * bs
         if rem and not self.drop_remainder:
@@ -84,6 +105,15 @@ class ArrayLoader:
             valid = np.zeros((bs,), np.float32)
             valid[:rem] = 1.0
             batch["_valid"] = valid
+            emitted += 1
+            yield batch
+        # agreed-step padding: fully-invalid batches (multi-host peers
+        # with more rows contribute the real gradient for these steps)
+        while self.num_batches is not None and emitted < self.num_batches:
+            idx = np.zeros(bs, np.int64)
+            batch = {k: take(v, idx) for k, v in self.data.items()}
+            batch["_valid"] = np.zeros((bs,), np.float32)
+            emitted += 1
             yield batch
 
 

@@ -1,6 +1,7 @@
 """ArrayLoader / process-sharding edge cases."""
 
 import numpy as np
+import pytest
 
 from rank_tpu.data.loader import (
     ArrayLoader,
@@ -62,3 +63,50 @@ def test_split_train_test_disjoint():
     tr, te = split_train_test(d, 0.25, seed=1)
     assert num_rows(tr) == 150 and num_rows(te) == 50
     assert not set(tr["x"].tolist()) & set(te["x"].tolist())
+
+
+def test_num_batches_pads_invalid_batches():
+    """Agreed-step padding: a loader asked for more batches than its rows
+    need emits fully-invalid extra batches (multi-host peers with bigger
+    shards own those steps' gradient)."""
+    data = {"x": np.arange(70, dtype=np.int32)}
+    loader = ArrayLoader(
+        data, 32, drop_remainder=False, num_batches=4
+    )
+    assert len(loader) == 4
+    batches = list(loader)
+    assert len(batches) == 4
+    valid_total = sum(b["_valid"].sum() for b in batches)
+    assert valid_total == 70
+    # every row appears exactly once among valid positions
+    seen = np.concatenate([b["x"][b["_valid"] > 0] for b in batches])
+    np.testing.assert_array_equal(np.sort(seen), np.arange(70))
+    # the padding batches are fully invalid
+    assert batches[3]["_valid"].sum() == 0
+
+    with pytest.raises(ValueError, match="num_batches"):
+        ArrayLoader(data, 32, drop_remainder=True, num_batches=4)
+    with pytest.raises(ValueError, match="cannot cover"):
+        ArrayLoader(data, 32, drop_remainder=False, num_batches=2)
+
+
+def test_streaming_training_covers_all_rows():
+    """VERDICT r2 #9: the streaming train path must train on EVERY row —
+    the remainder batch is padded + masked, not dropped (reference
+    DataLoader keep-last default, deepfm.py:222-227)."""
+    from rank_tpu.data.synthetic import make_synthetic_dataset
+    from rank_tpu.features import tiny_schema
+    from rank_tpu.models import default_config
+    from rank_tpu.train import TrainConfig, Trainer
+
+    schema = tiny_schema(vocab=32, hist_len=4)
+    data = make_synthetic_dataset(schema, num_rows=100, seed=0)  # 100 % 32 != 0
+    cfg = default_config("dcn").replace(hidden_units=(8,), num_cross_layers=1)
+    trainer = Trainer(schema, cfg, TrainConfig(batch_size=32, log_every=0))
+    loader = ArrayLoader(
+        data, 32, shuffle=True, seed=1, drop_remainder=False, num_batches=4
+    )
+    state = trainer.init_state(next(iter(loader)))
+    state, stats = trainer.train_epoch(state, loader)
+    # the meters count only _valid rows: all 100 rows trained
+    assert int(stats["count"]) == 100
