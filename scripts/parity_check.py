@@ -68,7 +68,7 @@ SCALAR_TAG_MODELS = (
 )
 
 
-def train_ours(model_name, train_d, eval_d, epochs, batch):
+def train_ours(model_name, train_d, eval_d, epochs, batch, seed=42):
     from rank_tpu.features import WECHAT_SCHEMA
     from rank_tpu.models import default_config
     from rank_tpu.train import TrainConfig, Trainer
@@ -79,12 +79,12 @@ def train_ours(model_name, train_d, eval_d, epochs, batch):
         cfg = cfg.replace(multihot_tags=False)
     trainer = Trainer(
         WECHAT_SCHEMA, cfg,
-        TrainConfig(batch_size=batch, log_every=0),
+        TrainConfig(batch_size=batch, log_every=0, seed=seed),
     )
     runner = StagedRunner(trainer, train_d, eval_d, batch)
     state = runner.init_state()
     for e in range(1, epochs + 1):
-        state, _ = runner.train_epoch(state, e)
+        state, _ = runner.train_epoch(state, e, seed)
     stats = runner.evaluate(state, epochs)
     if model_name in MULTI_TASK + ("esmm",):
         print(f"rank_tpu task AUCs: {stats.get('task_aucs')}")
@@ -146,13 +146,13 @@ def _torch_args(model_name, d, idx):
     raise ValueError(f"no torch arg builder for {model_name!r}")
 
 
-def train_torch(model_name, train_d, eval_d, epochs, batch):
+def train_torch(model_name, train_d, eval_d, epochs, batch, seed=42):
     import torch
     from sklearn.metrics import roc_auc_score
 
     from bench import _torch_models
 
-    torch.manual_seed(42)
+    torch.manual_seed(seed)
     model = _torch_models()[model_name]()
     opt = torch.optim.Adam(model.parameters(), lr=0.005)
     crit = torch.nn.BCEWithLogitsLoss()
@@ -168,7 +168,7 @@ def train_torch(model_name, train_d, eval_d, epochs, batch):
         return bce(p[:, 0], y[:, 0]) + bce(p[:, 1], y_ctcvr)
 
     n = train_d["labels"].shape[0]
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(seed)
     model.train()
     for e in range(epochs):
         order = rng.permutation(n)
@@ -209,19 +209,19 @@ def train_torch(model_name, train_d, eval_d, epochs, batch):
     return roc_auc_score(y, p)
 
 
-def run_one(model, train_d, eval_d, epochs, batch):
+def run_one(model, train_d, eval_d, epochs, batch, seed=42):
     t0 = time.time()
-    ours = train_ours(model, train_d, eval_d, epochs, batch)
+    ours = train_ours(model, train_d, eval_d, epochs, batch, seed)
     t_ours = time.time() - t0
     t0 = time.time()
-    torch_auc = train_torch(model, train_d, eval_d, epochs, batch)
+    torch_auc = train_torch(model, train_d, eval_d, epochs, batch, seed)
     t_torch = time.time() - t0
     print(
         f"\n{model.upper()} eval AUC — rank_tpu (TPU): {ours:.5f} in "
         f"{t_ours:.0f}s | torch (CPU): {torch_auc:.5f} in {t_torch:.0f}s | "
         f"delta {ours - torch_auc:+.5f}"
     )
-    return {"model": model, "ours": ours, "torch": torch_auc,
+    return {"model": model, "seed": seed, "ours": ours, "torch": torch_auc,
             "delta": ours - torch_auc, "t_ours": t_ours, "t_torch": t_torch}
 
 
@@ -231,6 +231,8 @@ def main():
     ap.add_argument("--rows", type=int, default=200_000)
     ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--seed", type=int, default=42,
+                    help="init/shuffle seed for BOTH sides (data stays seed 0)")
     ap.add_argument("--json_out", default=None,
                     help="append one JSON line per model to this file")
     args = ap.parse_args()
@@ -243,7 +245,8 @@ def main():
     train_d, eval_d = split_train_test(data, 0.15)
 
     names = MODELS if args.model == "all" else (args.model,)
-    results = [run_one(m, train_d, eval_d, args.epochs, args.batch)
+    results = [run_one(m, train_d, eval_d, args.epochs, args.batch,
+                       args.seed)
                for m in names]
     if args.json_out:
         import json

@@ -54,23 +54,55 @@ def main() -> None:
         for line in f:
             if line.strip():
                 r = json.loads(line)
-                rows[r["model"]] = r  # latest wins
+                # latest wins per (model, seed); multi-seed rows aggregate
+                rows.setdefault(r["model"], {})[r.get("seed", 42)] = r
 
     lines = [HEADER]
+    import numpy as np
+
+    flagged = []
     for name in sorted(rows):
-        r = rows[name]
-        lines.append(
-            f"| {name} | {r['ours']:.5f} | {r['torch']:.5f} | "
-            f"{r['delta']:+.5f} | {r['t_ours']:.0f} | {r['t_torch']:.0f} |\n"
-        )
+        runs = list(rows[name].values())
+        if len(runs) == 1:
+            r = runs[0]
+            lines.append(
+                f"| {name} | {r['ours']:.5f} | {r['torch']:.5f} | "
+                f"{r['delta']:+.5f} | {r['t_ours']:.0f} | {r['t_torch']:.0f} |\n"
+            )
+        else:
+            ours = np.array([r["ours"] for r in runs])
+            tch = np.array([r["torch"] for r in runs])
+            dl = np.array([r["delta"] for r in runs])
+            sd = dl.std(ddof=1)
+            if dl.mean() < -2 * sd:
+                flagged.append(name)
+            lines.append(
+                f"| {name} ({len(runs)} seeds) | "
+                f"{ours.mean():.5f} ± {ours.std(ddof=1):.5f} | "
+                f"{tch.mean():.5f} ± {tch.std(ddof=1):.5f} | "
+                f"{dl.mean():+.5f} ± {sd:.5f} | "
+                f"{np.mean([r['t_ours'] for r in runs]):.0f} | "
+                f"{np.mean([r['t_torch'] for r in runs]):.0f} |\n"
+            )
     lines.append(NOTES)
+    if flagged:
+        lines.append(
+            "- **FLAG**: mean delta < -2 sigma for: "
+            + ", ".join(flagged)
+            + " — a real semantic gap, not init noise; investigate.\n"
+        )
+    else:
+        lines.append(
+            "- multi-seed rows: no model's mean delta is below -2 sigma — "
+            "the negative single-seed deltas are within init noise.\n"
+        )
     with open(args.out, "w") as f:
         f.writelines(lines)
-    deltas = [rows[m]["delta"] for m in rows]
+    deltas = [np.mean([r["delta"] for r in rows[m].values()]) for m in rows]
     pos = sum(d > 0 for d in deltas)
     print(
-        f"wrote {args.out}: {len(rows)} models, {pos} positive deltas, "
-        f"range [{min(deltas):+.4f}, {max(deltas):+.4f}]"
+        f"wrote {args.out}: {len(rows)} models, {pos} positive mean deltas, "
+        f"range [{min(deltas):+.4f}, {max(deltas):+.4f}], flagged={flagged}"
     )
 
 
