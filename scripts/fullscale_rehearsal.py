@@ -1,0 +1,149 @@
+"""Full-scale dress rehearsal (VERDICT r2 #2).
+
+Trains DCN / BST / DIN / MMOE on EXACTLY the reference's data scale —
+3,322,313 train rows, 609,037 eval rows (``/root/reference/dataset/
+README.md:8``) — at the real ``WECHAT_SCHEMA`` dims (feedid 106,445,
+userid 19,627, T=50 sequences), batch 1024, staged (HBM-resident) path,
+with best-checkpoint save + predictions.csv export, recording per-epoch
+wall-clock, staging time, examples/s, eval wall-clock over the 609k-row
+exact AUC, and peak device memory. The point is that the first real-data
+run is NOT the first time 3.3M-row staging, 609k-row eval and the
+checkpoint/export tail get exercised.
+
+Usage: python scripts/fullscale_rehearsal.py [--models dcn,bst,din,mmoe]
+       [--epochs 1] [--json_out RESULTS_fullscale_r03.json]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TRAIN_ROWS = 3_322_313  # /root/reference/dataset/README.md:8
+EVAL_ROWS = 609_037
+
+
+def peak_hbm_gb():
+    import jax
+
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        return round(stats.get("peak_bytes_in_use", 0) / 2**30, 2)
+    except Exception:
+        return None
+
+
+def run_one(model_name, train_d, eval_d, epochs, batch, out_root,
+            train_rows=TRAIN_ROWS, eval_rows=EVAL_ROWS):
+    import jax
+
+    from rank_tpu.features import WECHAT_SCHEMA
+    from rank_tpu.models import default_config
+    from rank_tpu.train import TrainConfig, Trainer
+    from rank_tpu.train.checkpoint import CheckpointManager, export_predictions
+    from rank_tpu.train.staged import StagedRunner
+
+    cfg = default_config(model_name)
+    trainer = Trainer(
+        WECHAT_SCHEMA, cfg, TrainConfig(batch_size=batch, log_every=0)
+    )
+    rec = {"model": model_name, "train_rows": train_rows,
+           "eval_rows": eval_rows, "batch": batch, "epochs": epochs}
+
+    t0 = time.time()
+    runner = StagedRunner(trainer, train_d, eval_d, batch)
+    state = runner.init_state()
+    rec["t_stage_and_init"] = round(time.time() - t0, 1)
+
+    model_dir = os.path.join(out_root, model_name, "model")
+    output_dir = os.path.join(out_root, model_name, "out")
+    mgr = CheckpointManager(model_dir)
+
+    best_auc, epoch_secs, eps = 0.0, [], []
+    for e in range(1, epochs + 1):
+        t0 = time.time()
+        state, tr_stats = runner.train_epoch(state, e, 42)
+        epoch_secs.append(round(time.time() - t0, 1))
+        eps.append(round(tr_stats["examples_per_s"]))
+        t0 = time.time()
+        ev = runner.evaluate(state, e)
+        rec["t_eval"] = round(time.time() - t0, 1)
+        if ev["auc"] > best_auc:
+            best_auc = ev["auc"]
+            t0 = time.time()
+            mgr.save_best(trainer.depad_state(state))
+            rec["t_save_best"] = round(time.time() - t0, 1)
+    rec["epoch_secs"] = epoch_secs
+    rec["train_examples_per_s"] = eps
+    rec["trained_rows_per_epoch"] = tr_stats["count"]
+    rec["eval_auc"] = round(ev["auc"], 5)
+    rec["task_aucs"] = {k: round(v, 5) for k, v in ev["task_aucs"].items()}
+    rec["best_auc"] = round(best_auc, 5)
+
+    # predictions export over the full eval set (the reference's tail:
+    # deepfm.py:273-293)
+    primary = "ctr" if "ctr" in ev["predictions"] else next(iter(trainer.label_cols))
+    preds = ev["predictions"][primary]
+    mask = ev["valid"] > 0
+    label_col = trainer.label_cols.get(
+        primary, trainer.label_cols[cfg.tasks[0]]
+    )
+    t0 = time.time()
+    path = export_predictions(
+        output_dir, ev["labels"][mask, label_col], preds[mask]
+    )
+    rec["t_export"] = round(time.time() - t0, 1)
+    with open(path) as f:
+        rec["predictions_rows"] = sum(1 for _ in f) - 1
+    assert rec["predictions_rows"] == eval_rows, rec["predictions_rows"]
+    rec["peak_hbm_gb"] = peak_hbm_gb()
+
+    # free the staged arrays before the next model
+    del runner, state
+    jax.clear_caches()
+    return rec
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--models", default="dcn,bst,din,mmoe")
+    ap.add_argument("--epochs", type=int, default=1)
+    ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--out", default="/tmp/fullscale")
+    ap.add_argument("--train_rows", type=int, default=TRAIN_ROWS)
+    ap.add_argument("--eval_rows", type=int, default=EVAL_ROWS)
+    ap.add_argument("--json_out", default="RESULTS_fullscale_r03.json")
+    args = ap.parse_args()
+
+    from rank_tpu.data.synthetic import make_synthetic_dataset
+    from rank_tpu.features import WECHAT_SCHEMA
+
+    t0 = time.time()
+    data = make_synthetic_dataset(
+        WECHAT_SCHEMA, num_rows=args.train_rows + args.eval_rows, seed=0
+    )
+    train_d = {k: v[:args.train_rows] for k, v in data.items()}
+    eval_d = {k: v[args.train_rows:] for k, v in data.items()}
+    del data
+    print(f"generated {args.train_rows + args.eval_rows:,} rows in "
+          f"{time.time() - t0:.0f}s", flush=True)
+
+    results = []
+    for m in args.models.split(","):
+        print(f"=== {m} ===", flush=True)
+        rec = run_one(m, train_d, eval_d, args.epochs, args.batch, args.out,
+                      args.train_rows, args.eval_rows)
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+        with open(args.json_out, "w") as f:
+            json.dump(results, f, indent=1)
+    print(f"wrote {args.json_out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -23,8 +23,10 @@ import sys
 # grids transcribed from each algorithm/<M>/result.md sweep table
 SWEEPS = {
     "dcn": {
+        # algorithm/DCN/result.md rows 1-10: cross depth 0-4 (0 = pure
+        # deep tower), two tower widths
         "hidden_units": ["512,256,128", "256,128,64"],
-        "num_cross_layer": [1, 2, 3, 4, 5],
+        "num_cross_layer": [0, 1, 2, 3, 4],
     },
     "deepcrossing": {
         "residual_internal_dim": [64, 128, 256, 512],
