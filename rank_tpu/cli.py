@@ -104,6 +104,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="stage the whole dataset in HBM and run each epoch as one "
         "jitted scan (single-process; falls back to streaming otherwise)",
     )
+    p.add_argument(
+        "--staged_shuffle", choices=("global", "local"), default="global",
+        help="epoch shuffle on the staged path: 'global' = one uniform "
+        "permutation over all rows (one cross-shard gather/epoch, "
+        "reference DataLoader semantics); 'local' = per-data-shard "
+        "permutation (zero data collectives on a pod)",
+    )
     return p
 
 
@@ -257,7 +264,8 @@ def main(argv=None) -> int:
     if use_staged:
         from .train.staged import StagedRunner
 
-        runner = StagedRunner(trainer, train_data, eval_data, per_host_bs)
+        runner = StagedRunner(trainer, train_data, eval_data, per_host_bs,
+                              shuffle_mode=args.staged_shuffle)
         state = runner.init_state()
     else:
         sample = next(iter(ArrayLoader(train_data, per_host_bs)))

@@ -170,7 +170,21 @@ class StagedRunner:
         eval_data,
         batch_size: int,
         steps_per_dispatch: int = 8,
+        shuffle_mode: str = "global",
     ):
+        if shuffle_mode not in ("global", "local"):
+            raise ValueError(f"shuffle_mode {shuffle_mode!r}: global|local")
+        # 'global': one uniform permutation over ALL rows per epoch — one
+        # cross-shard gather per epoch (reference DataLoader semantics).
+        # 'local': each data shard permutes its own rows independently —
+        # ZERO collectives in the epoch shuffle (and the steps are already
+        # shard-local): the fully collective-free pod data path. Batches
+        # still mix all shards (each step takes gbs/D rows from every
+        # shard); rows just never migrate between shards across epochs —
+        # the standard per-worker-shuffle of distributed loaders. Host
+        # shards are stride-interleaved (loader.shard_for_process), so
+        # shards are statistically exchangeable.
+        self.shuffle_mode = shuffle_mode
         self.trainer = trainer
         self.batch_size = batch_size  # per-host rows per step
         # each jitted step slices one GLOBAL batch (all hosts' rows)
@@ -277,7 +291,7 @@ class StagedRunner:
         # doc). The block-interleave map is composed into the gather
         # indices — same single collective gather, but the output lands
         # pre-interleaved so every train step is shard-local.
-        def shuffle(data, seed):
+        def shuffle_global(data, seed):
             perm = jax.random.permutation(jax.random.PRNGKey(seed), n)
             idx = jnp.take(perm, _interleave_index(n, bs, d_data))
             out = jnp.take(data, idx, axis=0)
@@ -285,7 +299,27 @@ class StagedRunner:
                 out.reshape(d_data, n // d_data, data.shape[-1]), sh3
             )
 
-        self._shuffle_fn = jax.jit(shuffle)
+        # per-shard permutation: rows never cross shards, so the epoch
+        # shuffle itself is collective-FREE (asserted in test_staged). No
+        # interleave map needed — the per-shard perm IS the step layout.
+        def shuffle_local(data, seed):
+            shard = n // d_data
+            keys = jax.random.split(jax.random.PRNGKey(seed), d_data)
+            perms = jax.vmap(
+                lambda k: jax.random.permutation(k, shard)
+            )(keys)  # (D, shard)
+            perms = jax.lax.with_sharding_constraint(
+                perms, NamedSharding(tr.mesh, P(DATA_AXIS, None))
+            )
+            data3 = jax.lax.with_sharding_constraint(
+                data.reshape(d_data, shard, data.shape[-1]), sh3
+            )
+            out = jnp.take_along_axis(data3, perms[:, :, None], axis=1)
+            return jax.lax.with_sharding_constraint(out, sh3)
+
+        self._shuffle_fn = jax.jit(
+            shuffle_global if self.shuffle_mode == "global" else shuffle_local
+        )
 
         # eval is unshuffled: apply the interleave reorder ONCE at build
         # (a single cross-shard gather per run, like one epoch shuffle)

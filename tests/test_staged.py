@@ -172,3 +172,49 @@ def test_interleaved_layout_bitmatches_contiguous_and_drops_gathers():
             ev3[:, i * bpd:(i + 1) * bpd, :].reshape(bs, -1),
             ev[i * bs:(i + 1) * bs],
         )
+
+
+def test_local_shuffle_mode_is_collective_free_and_covers_all_rows():
+    """shuffle_mode='local': per-shard epoch permutation — the compiled
+    shuffle contains ZERO collectives (vs the global mode's cross-shard
+    permutation gather), every shard keeps exactly its own rows (each
+    exactly once), and a training epoch still trains every valid row."""
+    schema = tiny_schema(vocab=64, hist_len=6)
+    cfg = default_config("dcn").replace(hidden_units=(16, 8), num_cross_layers=2)
+    data = make_synthetic_dataset(schema, num_rows=512, seed=1)
+    tr = Trainer(schema, cfg, TrainConfig(batch_size=64, log_every=0))
+    runner = StagedRunner(tr, data, data, 64, steps_per_dispatch=2,
+                          shuffle_mode="local")
+    state = runner.init_state()
+    runner._build()
+    d_data = tr.mesh.shape["data"]
+    n = runner.train_steps * runner.global_bs
+
+    def collectives(compiled):
+        txt = compiled.as_text()
+        return sum(txt.count(c) for c in
+                   ("all-gather", "all-to-all", "all-reduce",
+                    "collective-permute", "reduce-scatter"))
+
+    shuffle_c = runner._shuffle_fn.lower(runner.train_staged, 3).compile()
+    assert collectives(shuffle_c) == 0
+
+    # per-shard row multiset preserved exactly
+    staged3 = np.asarray(runner.train_staged).reshape(d_data, n // d_data, -1)
+    got3 = np.asarray(runner._shuffle_fn(runner.train_staged, 3))
+    for d in range(d_data):
+        a = staged3[d][np.lexsort(staged3[d].T)]
+        b = got3[d][np.lexsort(got3[d].T)]
+        np.testing.assert_array_equal(a, b)
+    # and it actually permuted within shards
+    assert not np.array_equal(staged3, got3)
+
+    # a full epoch trains every valid row exactly once
+    state, stats = runner.train_epoch(state, 1)
+    assert int(stats["count"]) == 512
+
+    # invalid CLI-facing value fails loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="global|local"):
+        StagedRunner(tr, data, data, 64, shuffle_mode="bogus")
