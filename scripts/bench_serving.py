@@ -1,86 +1,101 @@
-"""Serving latency benchmark: Predictor end-to-end request latency.
+"""Serving-path latency/throughput benchmark (round 3).
 
-The reference has no serving layer (SURVEY.md §1); rank_tpu's is
-``rank_tpu/serve.py`` (bucketed static-shape batches, best-checkpoint
-restore). This reports per-request wall latency (p50/p90) and
-examples/s at request sizes 1 / 64 / 256 / 4096 for a model.
+The reference has no serving layer; rank_tpu's ``serve.Predictor``
+(bucketed static shapes, best-checkpoint weights, optional bf16 weight
+storage) is the production-inference surface. This measures, on the real
+chip, per-model: single-request p50 latency at small batch (the bucketed
+padded path) and steady-state throughput at a large batch, both with
+true value-fetch fences (block_until_ready is not a fence on this
+backend — CLAUDE.md / docs/REPRODUCING.md §5).
 
-Caveat recorded with the numbers: in this environment the TPU is reached
-through the axon tunnel, so small-batch latency is dominated by tunnel
-round-trip (~5-25 ms), not model compute — the large-batch examples/s
-figure is the hardware-meaningful one; on a directly-attached chip the
-small-batch p50 drops to the XLA launch overhead (~100s of µs).
-
-Usage: python scripts/bench_serving.py [--model dcn] [--repeats 30]
-Prints one JSON line per request size.
+Usage: python scripts/bench_serving.py [--models dcn,bst,din,mmoe]
+Writes SERVING_r03.json at the repo root.
 """
 
 import argparse
 import json
+import os
+import sys
 import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-def main(argv=None):
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--model", default="dcn")
-    ap.add_argument("--repeats", type=int, default=30)
-    ap.add_argument("--sizes", default="1,64,256,4096")
-    ap.add_argument("--weights_dtype", default=None,
-                    help="e.g. bfloat16: cast f32 params (serve.py)")
-    args = ap.parse_args(argv)
 
+def bench_model(model_name, small=64, big=8192, repeats=30):
     from rank_tpu.data.synthetic import make_synthetic_dataset
     from rank_tpu.features import WECHAT_SCHEMA
     from rank_tpu.models import default_config
     from rank_tpu.serve import Predictor
 
-    cfg = default_config(args.model)
-    # serve from fresh init (latency is checkpoint-independent)
+    cfg = default_config(model_name)
+
+    # fresh-init variables (quality-independent: serving cost is shape-
+    # dependent only)
     import flax.linen as nn
     import jax
 
     from rank_tpu.models import build_model
 
-    sample = make_synthetic_dataset(WECHAT_SCHEMA, num_rows=1, seed=0)
     model = build_model(WECHAT_SCHEMA, cfg)
-    variables = nn.meta.unbox(
-        model.init(
-            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
-            {k: jax.numpy.asarray(v) for k, v in sample.items()},
-            train=False,
-        )
-    )
-    pred = Predictor(WECHAT_SCHEMA, cfg, variables=variables, min_bucket=1,
-                     weights_dtype=args.weights_dtype)
+    sample = make_synthetic_dataset(WECHAT_SCHEMA, num_rows=1, seed=0)
+    variables = nn.meta.unbox(model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        {k: np.asarray(v) for k, v in sample.items()}, train=False,
+    ))
+    pred = Predictor(WECHAT_SCHEMA, cfg, variables=variables)
 
-    sizes = [int(s) for s in args.sizes.split(",")]
-    data = make_synthetic_dataset(WECHAT_SCHEMA, num_rows=max(sizes), seed=1)
-    for n in sizes:
-        req = {k: v[:n] for k, v in data.items() if k != "labels"}
-        pred(req)  # compile the bucket
-        lats = []
-        for _ in range(args.repeats):
-            t0 = time.perf_counter()
-            out = pred(req)
-            lats.append(time.perf_counter() - t0)
-        lats = np.sort(np.asarray(lats))
-        p50 = float(lats[len(lats) // 2])
-        p90 = float(lats[int(len(lats) * 0.9)])
-        print(
-            json.dumps(
-                {
-                    "metric": f"serving_latency_{args.model}_bs{n}"
-                    + (f"_{args.weights_dtype}" if args.weights_dtype else ""),
-                    "p50_ms": round(p50 * 1e3, 3),
-                    "p90_ms": round(p90 * 1e3, 3),
-                    "examples_per_s_at_p50": round(n / p50, 1),
-                    "heads": sorted(out),
-                }
-            ),
-            flush=True,
-        )
+    data_small = make_synthetic_dataset(WECHAT_SCHEMA, num_rows=small, seed=1)
+    data_big = make_synthetic_dataset(WECHAT_SCHEMA, num_rows=big, seed=2)
+    req_small = {k: v for k, v in data_small.items() if k != "labels"}
+    req_big = {k: v for k, v in data_big.items() if k != "labels"}
+
+    # warmup (compiles both buckets)
+    for _ in range(3):
+        out = pred(req_small)
+        out = pred(req_big)
+    _ = float(np.asarray(next(iter(out.values()))).sum())
+
+    lat = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = pred(req_small)
+        # value fetch IS the fence
+        _ = float(np.asarray(next(iter(out.values()))).sum())
+        lat.append((time.perf_counter() - t0) * 1e3)
+
+    thr = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        for _ in range(10):
+            out = pred(req_big)
+        _ = float(np.asarray(next(iter(out.values()))).sum())
+        thr.append(big * 10 / (time.perf_counter() - t0))
+
+    return {
+        "model": model_name,
+        "small_batch": small,
+        "p50_latency_ms": round(float(np.median(lat)), 2),
+        "p90_latency_ms": round(float(np.percentile(lat, 90)), 2),
+        "big_batch": big,
+        "throughput_ex_per_s": round(float(np.median(thr))),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--models", default="dcn,bst,din,mmoe")
+    ap.add_argument("--json_out", default="SERVING_r03.json")
+    args = ap.parse_args()
+    results = []
+    for m in args.models.split(","):
+        r = bench_model(m)
+        results.append(r)
+        print(json.dumps(r), flush=True)
+        with open(args.json_out, "w") as f:
+            json.dump(results, f, indent=1)
+    print(f"wrote {args.json_out}")
 
 
 if __name__ == "__main__":
