@@ -92,19 +92,26 @@ def render(jsonl, out_md):
             lines.append(
                 f"| {model} | {w} ({len(runs)} seeds) | " + " | ".join(cells) + " |\n"
             )
-    # recommendation: best mean-of-tasks per model, with a non-harm check
+    # recommendation: a non-sum default must beat sum by >= its own
+    # cross-seed std, else the honest default is sum (simplest + cheapest)
     lines.append("\nRecommendation:\n")
     for model in MODELS:
         per_w = {w: summary[(model, w)] for w in WEIGHTINGS if (model, w) in summary}
         if not per_w:
             continue
-        best = max(per_w, key=per_w.get)
         base = per_w.get("sum")
+        best = max(per_w, key=per_w.get)
+        best_runs = list(rows[(model, best)].values())
+        sd = np.array([r["mean_auc"] for r in best_runs]).std(ddof=1) \
+            if len(best_runs) > 1 else 0.0
+        pick = best if (base is None or per_w[best] - base >= sd) else "sum"
         verdict = []
         for w, v in sorted(per_w.items(), key=lambda kv: -kv[1]):
             d = v - base if base is not None else float("nan")
             verdict.append(f"{w} {v:.4f} ({d:+.4f} vs sum)")
-        lines.append(f"- **{model}**: {'; '.join(verdict)} → default `{best}`.\n")
+        note = "" if pick != "sum" or best == "sum" else \
+            f" (best `{best}` is within 1 sigma of sum — not worth its step cost)"
+        lines.append(f"- **{model}**: {'; '.join(verdict)} → default `{pick}`{note}.\n")
     with open(out_md, "w") as f:
         f.writelines(lines)
     print(f"wrote {out_md}")
