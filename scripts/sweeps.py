@@ -58,6 +58,7 @@ def main():
     ap.add_argument("--limit", type=int, default=0,
                     help="run only the first N grid cells (smoke)")
     args, passthrough = ap.parse_known_args()
+    passthrough = [a for a in passthrough if a != "--"]
 
     grid = SWEEPS[args.model]
     keys = sorted(grid)
