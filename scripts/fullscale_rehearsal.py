@@ -59,6 +59,12 @@ def run_one(model_name, train_d, eval_d, epochs, batch, out_root,
     runner = StagedRunner(trainer, train_d, eval_d, batch)
     state = runner.init_state()
     rec["t_stage_and_init"] = round(time.time() - t0, 1)
+    # the axon tunnel backend does not expose memory_stats(); record the
+    # dominant HBM resident (the packed staged matrices) analytically
+    rec["staged_train_gb"] = round(
+        runner.train_staged.size * 4 / 2**30, 2
+    )
+    rec["staged_eval_gb"] = round(runner.eval_staged.size * 4 / 2**30, 2)
 
     model_dir = os.path.join(out_root, model_name, "model")
     output_dir = os.path.join(out_root, model_name, "out")
