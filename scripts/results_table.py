@@ -11,7 +11,7 @@ import json
 
 HEADER = """# RESULTS (synthetic) — the full zoo (16 + AutoInt + FLEN) end-to-end on one TPU v5e chip
 
-`python scripts/run_all_models.py --rows 200000 --epochs 5` — synthetic
+`python scripts/run_all_models.py --rows 200000 --epochs 2` — synthetic
 WeChat-shaped data (real CSVs are not distributed; see docs/REPRODUCING.md
 for real-data parity targets). AUC here is a learning-sanity value, not a
 reference-parity claim; throughput is steady-state device-resident training.
