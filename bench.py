@@ -995,10 +995,16 @@ def bench_torch(model_name: str) -> float:
     # pin the thread count: the shared-pool CPU made the baseline swing
     # ~1.7x between rounds (BENCH_r01 93,909 vs BENCH_r02 56,302 ex/s for
     # DCN) when left at torch's load-dependent default (VERDICT r2 weak
-    # #6). cpu_count (2 here) measured 55-65k ex/s across fresh processes;
-    # oversubscribing (8 threads on 2 cores) tanks it to ~30k — unfair.
+    # #6). 2 threads (the actual quota here) measured 55-65k ex/s across
+    # fresh processes; oversubscribing (8 threads on 2 cores) tanks it to
+    # ~30k — unfair. sched_getaffinity respects cgroup/affinity limits
+    # where os.cpu_count reports host logical cores (ADVICE r3).
+    try:
+        avail = len(os.sched_getaffinity(0)) or 1
+    except AttributeError:  # non-Linux fallback
+        avail = os.cpu_count() or 1
     torch.set_num_threads(
-        int(os.environ.get("BENCH_TORCH_THREADS", str(os.cpu_count() or 1)))
+        int(os.environ.get("BENCH_TORCH_THREADS", str(avail)))
     )
     torch_zoo = _torch_models()
     TorchDCN, TorchBST = torch_zoo["dcn"], torch_zoo["bst"]

@@ -50,6 +50,14 @@ class ArrayLoader:
     with additional fully-invalid batches up to an agreed count: under
     multi-host, processes with unequal shard sizes must still run the
     same number of (collective) steps.
+
+    Known divergence (docs/REPRODUCING.md §4.7): the ``_valid`` mask
+    zeroes padded rows out of loss/metrics/gradients, but BatchNorm
+    (``use_norm`` models, ops/mlp.py) still computes train-mode batch
+    statistics over the duplicated padding rows — the one short batch per
+    epoch normalizes slightly differently than the reference's genuinely
+    smaller last batch. Accepted: sub-noise at reference scale (one batch
+    in ~3,245), and masking BN stats would fork flax's BatchNorm.
     """
 
     def __init__(

@@ -204,13 +204,17 @@ class Trainer:
                 )
                 print(f"[sharding] padded vocab rows to table={table_axis_size} multiple: {pads}")
                 # _padded_table_dims matches table modules by name suffix
-                # ("_" + feature); if one padded feature's name were a
-                # suffix of another's, a module of the longer feature
-                # would also match the shorter one and depad/repad could
+                # ("_" + feature); if ANY schema feature's name — padded
+                # or not (an unpadded "x_feedid" can still collide if its
+                # row count coincides, ADVICE r3) — were a suffix-extension
+                # of a padded one, a module of the longer feature would
+                # also match the shorter one and depad/repad could
                 # silently pick the wrong dims. Refuse that schema here
                 # rather than mis-slice a checkpoint later.
+                from ..embedding.collection import table_specs as _tspecs
+
                 for f1 in self.table_padding:
-                    for f2 in self.table_padding:
+                    for f2 in _tspecs(schema):
                         if f1 != f2 and (f2.endswith("_" + f1) or f2 == "table_" + f1):
                             raise ValueError(
                                 f"padded feature name {f1!r} is a suffix of "

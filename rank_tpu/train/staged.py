@@ -181,9 +181,14 @@ class StagedRunner:
         # shard-local): the fully collective-free pod data path. Batches
         # still mix all shards (each step takes gbs/D rows from every
         # shard); rows just never migrate between shards across epochs —
-        # the standard per-worker-shuffle of distributed loaders. Host
-        # shards are stride-interleaved (loader.shard_for_process), so
-        # shards are statistically exchangeable.
+        # the standard per-worker-shuffle of distributed loaders. To keep
+        # shards statistically exchangeable even when the input is
+        # temporally/user-sorted, _build applies a ONE-TIME stride
+        # interleave across device shards at staging (shard d gets dataset
+        # rows d, d+D, d+2D, ...) before any per-shard permutation — the
+        # staged P('data') layout alone would pin each shard to a
+        # CONTIGUOUS row block of the dataset order (ADVICE r3 medium).
+        # One cross-shard gather per RUN, not per epoch/step.
         self.shuffle_mode = shuffle_mode
         self.trainer = trainer
         self.batch_size = batch_size  # per-host rows per step
@@ -299,6 +304,26 @@ class StagedRunner:
                 out.reshape(d_data, n // d_data, data.shape[-1]), sh3
             )
 
+        if self.shuffle_mode == "local":
+            # one-time stride interleave (see __init__ comment): new global
+            # position p = d*shard + j takes old row j*D + d, so every
+            # device shard is a stride-D sample of the dataset order
+            # instead of a contiguous block. Runs once per run; the
+            # original (donated) staged matrix is freed.
+            shard0 = n // d_data
+
+            def stride_interleave(data):
+                g = jnp.arange(n, dtype=jnp.int32)
+                idx = (g % shard0) * d_data + (g // shard0)
+                out = jnp.take(data, idx, axis=0)
+                return jax.lax.with_sharding_constraint(
+                    out, NamedSharding(tr.mesh, P(DATA_AXIS, None))
+                )
+
+            self.train_staged = jax.jit(stride_interleave, donate_argnums=0)(
+                self.train_staged
+            )
+
         # per-shard permutation: rows never cross shards, so the epoch
         # shuffle itself is collective-FREE (asserted in test_staged). No
         # interleave map needed — the per-shard perm IS the step layout.
@@ -331,7 +356,13 @@ class StagedRunner:
                 out.reshape(d_data, n_ev // d_data, data.shape[-1]), sh3
             )
 
-        self._eval_staged3 = jax.jit(interleave_eval)(self.eval_staged)
+        # donate + drop the pre-interleave eval matrix: at the 609k-row
+        # eval scale keeping both copies resident costs a few hundred MB
+        # of HBM for the runner's lifetime (ADVICE r3 low)
+        self._eval_staged3 = jax.jit(interleave_eval, donate_argnums=0)(
+            self.eval_staged
+        )
+        self.eval_staged = None
         self._fns_built = True
 
     # -- epochs ----------------------------------------------------------

@@ -164,9 +164,13 @@ def test_interleaved_layout_bitmatches_contiguous_and_drops_gathers():
     assert gathers(old_compiled) > 0
 
     # eval data got the same one-time reorder: slicing the 3-D view gives
-    # the original contiguous eval batches
+    # the original contiguous eval batches. (The pre-interleave device
+    # copy is freed after _build — recompute the expected packing on host.)
+    from rank_tpu.train.staged import _pad_rows, pack_columns
+
+    assert runner.eval_staged is None  # HBM copy dropped (ADVICE r3)
     ev3 = np.asarray(runner._eval_staged3)
-    ev = np.asarray(runner.eval_staged)
+    ev, _ = pack_columns(_pad_rows(data, 64)[0])
     for i in range(runner.eval_steps):
         np.testing.assert_array_equal(
             ev3[:, i * bpd:(i + 1) * bpd, :].reshape(bs, -1),
@@ -198,6 +202,16 @@ def test_local_shuffle_mode_is_collective_free_and_covers_all_rows():
 
     shuffle_c = runner._shuffle_fn.lower(runner.train_staged, 3).compile()
     assert collectives(shuffle_c) == 0
+
+    # the one-time stride interleave ran at build: device shard d holds
+    # dataset rows d, d+D, d+2D, ... (NOT a contiguous block of the input
+    # order), so per-shard permutation stays unbiased on sorted inputs
+    from rank_tpu.train.staged import _pad_rows, pack_columns
+
+    orig, _ = pack_columns(_pad_rows(data, 64)[0])
+    staged_now = np.asarray(runner.train_staged).reshape(d_data, n // d_data, -1)
+    for d in range(d_data):
+        np.testing.assert_array_equal(staged_now[d], orig[d::d_data])
 
     # per-shard row multiset preserved exactly
     staged3 = np.asarray(runner.train_staged).reshape(d_data, n // d_data, -1)
