@@ -42,6 +42,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--vocabulary_dir", type=str, default=None)
     p.add_argument("--synthetic", type=int, default=0,
                    help="train on N synthetic rows instead of real data")
+    p.add_argument("--synthetic_calibrated", type=float, default=0.0,
+                   help="train on the EDA-calibrated synthetic log at this "
+                   "scale (1.0 = the reference's 3.32M/609k split; the "
+                   "log is generated once, run through the full WeChatETL "
+                   "and cached — data/calibrated.py)")
     # reference-named training flags (deepfm.py:295-313)
     p.add_argument("--model_dir", type=str, default="./model_dir")
     p.add_argument("--output_dir", type=str, default="./output_dir")
@@ -197,7 +202,13 @@ def _restore_normal_form(trainer, state, what, restore_fn):
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
-    if args.synthetic:
+    if args.synthetic_calibrated:
+        from .data.calibrated import make_calibrated_dataset
+
+        train_data, eval_data, schema = make_calibrated_dataset(
+            scale=args.synthetic_calibrated
+        )
+    elif args.synthetic:
         schema = WECHAT_SCHEMA
         data = make_synthetic_dataset(schema, num_rows=args.synthetic)
         train_data, eval_data = split_train_test(data, test_fraction=0.15)

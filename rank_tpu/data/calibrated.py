@@ -1,0 +1,444 @@
+"""EDA-calibrated synthetic WeChat action log + dataset (VERDICT r3 #2).
+
+The competition CSVs are not distributed (``dataset/README.md:6``), and the
+latent-factor row sampler in ``data/synthetic.py`` tops out at AUC ~0.78 on
+uniform ids — a regime the reference never operated in (its result.md
+tables live at AUC 0.85-0.92 on severely imbalanced labels and Zipfian id
+frequencies). This module closes that gap structurally: instead of
+sampling FEATURE ROWS, it generates a 14-day EVENT LOG whose marginals are
+calibrated to the statistics the reference's EDA notebook actually
+measured, then runs the repo's own :class:`~rank_tpu.data.etl.WeChatETL`
+over it. The 7-day aggregate features (``u_*_7d_sum``/``i_*_7d_sum``/
+cross), the ``his_read_comment_7d_seq`` behaviour sequence and the
+train/test split therefore EMERGE from the log exactly the way the
+reference's did from the real one — including the property that makes
+reference AUCs high: the aggregates are genuinely predictive of the
+labels, because both are driven by the same persistent user/feed latents.
+
+Calibration targets (all from ``/root/reference/dataset/wechat_algo_data1/
+EDA.ipynb`` executed outputs):
+  * per-day sample counts, daily unique users (UV) and daily unique feeds
+    — cell 15's full table (478,489..609,036 samples; UV 11,123..13,792 of
+    20,000 users; 24,035..42,292 unique feeds of 106,444);
+  * per-action positive rates over the training window — cell 30
+    (read_comment 139,862 / 3,931,348 = 3.558%) and cell 15's action sums
+    for the other six;
+  * 20,000 total users — cell 31; feed/author/bgm/tag vocab sizes from
+    the checked-in vocabulary files (features.py _WECHAT_VOCAB_ROWS);
+  * ~50% of authors have exactly one feed — cell 27's markdown note;
+  * videoplayseconds concentrated under 60s — cell 25's histogram.
+
+Label model: each action's logit is b_a + user-propensity + feed-
+attractiveness + low-rank user-x-feed affinity, with the per-action bias
+``b_a`` solved by bisection so realized rates hit the cell-15/30 targets
+EXACTLY (up to Bernoulli noise). Propensities are shared latents across
+actions (so tasks correlate, as MTL needs) and also drive play/stay, so
+every derived feature carries signal. Sequence-length distribution is not
+set directly — it emerges from user activity x the read_comment rate, the
+same mechanism as the reference log (DataGenerator.py:263-279).
+
+``scale`` shrinks the log *and* the user/feed/author populations
+proportionally, keeping per-id observation density (and hence achievable
+AUC) constant — a 5% log is statistically similar, just smaller.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+
+# ---------------------------------------------------------------------------
+# EDA-measured targets (EDA.ipynb cell 15 full table; see module docstring)
+# ---------------------------------------------------------------------------
+
+PER_DAY_SAMPLES = (
+    478489, 461842, 543566, 504623, 444828, 472726, 480460,
+    500120, 512466, 596886, 614175, 532038, 566627, 609036,
+)
+PER_DAY_UV = (
+    11123, 11281, 11875, 11700, 11427, 11858, 11967,
+    12170, 12350, 12655, 12823, 12694, 13142, 13792,
+)
+PER_DAY_FEED_UNIQUE = (
+    24035, 26304, 27715, 28332, 28973, 31531, 31871,
+    33073, 35176, 38228, 39966, 39930, 42242, 42292,
+)
+# training-window (date_ 8-14) positive rates: cell 30 exact for
+# read_comment; cell 15 action sums / 3,931,348 for the rest
+ACTION_RATES = {
+    "read_comment": 0.035576,
+    "like": 0.025142,
+    "click_avatar": 0.0075397,
+    "forward": 0.0035820,
+    "comment": 0.00040699,
+    "follow": 0.00069442,
+    "favorite": 0.0013912,
+}
+ACTIONS = tuple(ACTION_RATES)
+
+N_USERS = 20_000       # cell 31
+N_FEEDS = 106_444      # vocabulary/feedid.txt
+N_AUTHORS = 18_789     # vocabulary/authorid.txt
+N_SONGS = 25_159
+N_SINGERS = 17_500
+N_TAGS = 350
+DAYS = 14
+
+
+@dataclasses.dataclass(frozen=True)
+class CalibratedLogConfig:
+    """Latent-model knobs. Defaults tuned so (a) the marginals above land
+    within tolerance (scripts/calibrate_synthetic.py asserts them) and
+    (b) trained CTR models reach the reference's AUC regime (0.85+)."""
+
+    scale: float = 1.0
+    seed: int = 0
+    latent_rank: int = 8        # user-x-feed affinity rank
+    s_user: float = 2.2         # user propensity spread (logits)
+    s_feed: float = 2.0         # feed attractiveness spread (logits)
+    s_affinity: float = 1.2     # low-rank interaction spread (logits)
+    s_popularity: float = 0.35  # popular feeds engage slightly more
+    # user activity: P(active on a day) ~ Beta(a,b) scaled to hit UV
+    activity_beta = (2.3, 1.7)
+    # events per active user-day ~ lognormal(sigma) (EDA cell 19: median
+    # ~30, tail to 300)
+    events_sigma: float = 0.85
+    # feed exposure: zipf(alpha) x freshness decay after a birth day.
+    # Tuned by grid search against the Poissonized expected-unique
+    # formula sum_f 1-exp(-n_d p_f) vs cell 15's daily unique-feed
+    # column: mean |log err| = 3.5% over the 14 days (see
+    # scripts/calibrate_synthetic.py, which re-verifies on samples).
+    feed_zipf_alpha: float = 1.1
+    feed_fresh_tau: float = 8.0
+    feed_fresh_floor: float = 0.02
+    # share of the catalog already live before day 1 (grows the daily
+    # unique-feed count from 24k to 42k as the rest is released); the
+    # pre-window catalog carries uniform ages up to catalog_age_spread
+    # days so it is already freshness-decayed on day 1
+    catalog_head_share: float = 0.45
+    catalog_age_spread: float = 30.0
+
+
+def _n(x: int, scale: float, lo: int = 2) -> int:
+    return max(lo, int(round(x * scale)))
+
+
+def _author_sizes(rng: np.random.Generator, n_feeds: int, n_authors: int):
+    """Works-per-author with ~50% single-feed authors (EDA cell 27)."""
+    sizes = rng.zipf(1.85, size=n_authors).clip(max=400)
+    # rescale the multi-feed tail so the total matches n_feeds exactly
+    while sizes.sum() < n_feeds:
+        sizes[rng.integers(0, n_authors)] += 1
+    while sizes.sum() > n_feeds:
+        i = rng.integers(0, n_authors)
+        if sizes[i] > 1:
+            sizes[i] -= 1
+    return sizes
+
+
+def _universe_for(target_distinct: int, draws: int) -> int:
+    """Universe size U s.t. uniform draws yield ~target distinct ids:
+    solves U (1 - exp(-draws/U)) = target. Used so the OBSERVED bgm
+    vocab sizes land on the reference's vocabulary-file counts."""
+    lo, hi = float(target_distinct), float(target_distinct) * 20.0
+    for _ in range(60):
+        mid = 0.5 * (lo + hi)
+        if mid * (1.0 - np.exp(-draws / mid)) > target_distinct:
+            hi = mid
+        else:
+            lo = mid
+    return int(round(0.5 * (lo + hi)))
+
+
+def _solve_bias(logit: np.ndarray, target: float) -> float:
+    """Bisection: b s.t. mean(sigmoid(logit + b)) == target."""
+    lo, hi = -20.0, 5.0
+    for _ in range(45):
+        mid = 0.5 * (lo + hi)
+        if np.mean(1.0 / (1.0 + np.exp(-(logit + mid)))) > target:
+            hi = mid
+        else:
+            lo = mid
+    return 0.5 * (lo + hi)
+
+
+def make_calibrated_log(
+    out_dir: str,
+    cfg: CalibratedLogConfig = CalibratedLogConfig(),
+) -> Dict[str, float]:
+    """Write ``user_action.csv`` + ``feed_info.csv`` under ``out_dir``.
+    Returns generation stats (realized rates / uniques per day)."""
+    rng = np.random.default_rng(cfg.seed)
+    s = cfg.scale
+    n_users = _n(N_USERS, s)
+    n_feeds = _n(N_FEEDS, s)
+    n_authors = min(_n(N_AUTHORS, s), n_feeds)
+    n_songs, n_singers = _n(N_SONGS, s), _n(N_SINGERS, s)
+    n_tags = min(N_TAGS, max(20, int(round(N_TAGS * max(s, 0.1)))))
+    os.makedirs(out_dir, exist_ok=True)
+
+    # -- feed_info ---------------------------------------------------------
+    feed_ids = np.arange(1, n_feeds + 1)
+    author_of_feed = np.repeat(
+        np.arange(1, n_authors + 1), _author_sizes(rng, n_feeds, n_authors)
+    )
+    rng.shuffle(author_of_feed)
+    secs = np.round(rng.gamma(2.0, 15.0, n_feeds).clip(1, 300), 0)
+    # bgm: universes sized so the OBSERVED distinct counts match the
+    # reference vocabulary files (25,159 songs / 17,500 singers at s=1)
+    song_draws = int(0.70 * n_feeds)  # 30% of feeds have no bgm
+    song_universe = _universe_for(n_songs, song_draws)
+    song = rng.integers(1, song_universe + 1, size=n_feeds).astype(float)
+    singer_universe = _universe_for(n_singers, n_songs)
+    # one singer per song (deterministic map), NaN where song is NaN
+    song_to_singer = rng.integers(
+        1, singer_universe + 1, size=song_universe + 1
+    )
+    singer = song_to_singer[song.astype(int)].astype(float)
+    no_bgm = rng.random(n_feeds) < 0.30
+    song[no_bgm] = np.nan
+    singer[no_bgm] = np.nan
+    tag_p = 1.0 / np.arange(1, n_tags + 1) ** 0.8
+    tag_p /= tag_p.sum()
+    n_tags_per = rng.integers(1, 5, size=n_feeds)
+    tags = [
+        ";".join(map(str, rng.choice(
+            np.arange(1, n_tags + 1), size=k, replace=False, p=tag_p)))
+        if rng.random() > 0.05 else ""
+        for k in n_tags_per
+    ]
+    pd.DataFrame({
+        "feedid": feed_ids,
+        "authorid": author_of_feed,
+        "videoplayseconds": secs,
+        "description": "", "ocr": "", "asr": "",
+        "bgm_song_id": song, "bgm_singer_id": singer,
+        "manual_tag_list": tags,
+    }).to_csv(os.path.join(out_dir, "feed_info.csv"), index=False)
+
+    # -- latents -----------------------------------------------------------
+    R, L = cfg.latent_rank, len(ACTIONS)
+    user_style = rng.normal(size=(n_users + 1, R)).astype(np.float32)
+    feed_style = rng.normal(size=(n_feeds + 1, R)).astype(np.float32)
+    # per-action loadings: shared latents -> correlated tasks
+    w_user = rng.normal(size=(R, L)).astype(np.float32) / np.sqrt(R)
+    w_feed = rng.normal(size=(R, L)).astype(np.float32) / np.sqrt(R)
+    UP = cfg.s_user * (user_style @ w_user)       # (U+1, L) propensity
+    FP = cfg.s_feed * (feed_style @ w_feed)       # (F+1, L) attractiveness
+    u_aff = rng.normal(size=(n_users + 1, R)).astype(np.float32)
+    f_aff = rng.normal(size=(n_feeds + 1, R)).astype(np.float32)
+    # per-action affinity weight: sequence-driven models should see the
+    # strongest interaction on the headline task
+    c_aff = np.array([1.0, 0.6, 0.6, 0.5, 0.5, 0.5, 0.5], np.float32)
+
+    # user activity & volume
+    a, b = cfg.activity_beta
+    q_u = rng.beta(a, b, size=n_users + 1)
+    uv_base = q_u[1:].mean() * n_users
+    w_events = rng.lognormal(0.0, cfg.events_sigma, size=n_users + 1)
+
+    # feed exposure: zipf over a shuffled permutation (id != popularity
+    # rank) x freshness after a birth day
+    n_head = int(cfg.catalog_head_share * n_feeds)
+    birth = np.concatenate([
+        rng.uniform(-cfg.catalog_age_spread, 0.0, size=n_head),
+        rng.integers(1, DAYS + 1, size=n_feeds - n_head).astype(np.float64),
+    ])
+    rng.shuffle(birth)
+    day_fresh = np.stack([
+        np.where(
+            d - birth >= 0,
+            cfg.feed_fresh_floor + np.exp(-(d - birth) / cfg.feed_fresh_tau),
+            0.0,
+        )
+        for d in range(1, DAYS + 1)
+    ])  # (DAYS, F)
+
+    def _expected_unique_ratio(alpha: float) -> float:
+        # Poissonized expected distinct feeds vs the (scaled) cell-15
+        # column, averaged over the 14 days
+        zz = 1.0 / np.arange(1, n_feeds + 1) ** alpha
+        ratios = []
+        for d in range(DAYS):
+            p = zz * day_fresh[d]
+            p = p / p.sum()
+            n_d = max(100, int(round(PER_DAY_SAMPLES[d] * s)))
+            got = np.sum(1.0 - np.exp(-n_d * p))
+            ratios.append(got / max(PER_DAY_FEED_UNIQUE[d] * s, 1.0))
+        return float(np.mean(ratios))
+
+    # zipf truncation is NOT scale-invariant (a 2%-catalog at the
+    # full-scale alpha overshoots uniques by ~20%) — bisect alpha at
+    # THIS scale so the mean daily-unique ratio lands at 1. The tuned
+    # full-scale default (1.1) is the documented starting point.
+    lo_a, hi_a = 0.6, 2.0
+    for _ in range(30):
+        mid = 0.5 * (lo_a + hi_a)
+        if _expected_unique_ratio(mid) > 1.0:
+            lo_a = mid  # more skew -> fewer uniques
+        else:
+            hi_a = mid
+    alpha = 0.5 * (lo_a + hi_a)
+    z = 1.0 / np.arange(1, n_feeds + 1) ** alpha
+    rng.shuffle(z)
+    pop_z = ((np.log(z) - np.log(z).mean()) / np.log(z).std()).astype(
+        np.float32
+    )  # z-scored log-popularity, reused as an engagement signal
+
+    # -- per-day event generation -----------------------------------------
+    day_frames = []
+    realized_uv, realized_funiq = [], []
+    for d in range(1, DAYS + 1):
+        n_d = max(100, int(round(PER_DAY_SAMPLES[d - 1] * s)))
+        # active users today: scaled so E[UV] tracks the EDA trend
+        # (the UV target scales with the population, like everything else)
+        p_act = np.clip(q_u * (PER_DAY_UV[d - 1] * s / uv_base), 0.0, 1.0)
+        active = np.flatnonzero(rng.random(n_users + 1) < p_act)
+        active = active[active > 0]
+        if active.size == 0:
+            active = np.array([1])
+        w = w_events[active]
+        users_d = rng.choice(active, size=n_d, p=w / w.sum())
+        age = d - birth
+        fresh = np.where(
+            age >= 0,
+            cfg.feed_fresh_floor + np.exp(-age / cfg.feed_fresh_tau),
+            0.0,
+        )
+        pf = z * fresh
+        pf = pf / pf.sum()
+        feeds_d = rng.choice(feed_ids, size=n_d, p=pf)
+        realized_uv.append(int(np.unique(users_d).size))
+        realized_funiq.append(int(np.unique(feeds_d).size))
+
+        aff = np.einsum(
+            "nr,nr->n", u_aff[users_d], f_aff[feeds_d]
+        ) / np.sqrt(R)
+        base = (
+            UP[users_d]                       # (n, L)
+            + FP[feeds_d]
+            + cfg.s_affinity * aff[:, None] * c_aff[None, :]
+            + cfg.s_popularity * pop_z[feeds_d - 1][:, None]
+        )
+        df = pd.DataFrame({
+            "userid": users_d.astype(np.int32),
+            "feedid": feeds_d.astype(np.int32),
+            "date_": np.full(n_d, d, np.int32),
+            "device": rng.choice([1, 2], size=n_d, p=[0.7, 0.3]),
+        })
+        for action in ACTIONS:
+            df[action] = np.zeros(n_d, np.int8)  # filled after bias solve
+        day_frames.append((df, base, aff, feeds_d))
+
+    # -- solve per-action bias on the TRAINING WINDOW, then draw labels ---
+    win_logits = np.concatenate(
+        [base for (df, base, _, _) in day_frames[7:]], axis=0
+    )
+    biases = {
+        action: _solve_bias(win_logits[:, j], ACTION_RATES[action])
+        for j, action in enumerate(ACTIONS)
+    }
+    del win_logits
+    frames = []
+    for (df, base, aff, feeds_d) in day_frames:
+        n_d = len(df)
+        for j, action in enumerate(ACTIONS):
+            p = 1.0 / (1.0 + np.exp(-(base[:, j] + biases[action])))
+            df[action] = (rng.random(n_d) < p).astype(np.int8)
+        # play/stay: driven by the same affinity (finish-rate model);
+        # stored in ms like the real log (EDA cell 10)
+        v = secs[feeds_d - 1]
+        finish = 1.0 / (1.0 + np.exp(-(0.8 * aff + rng.normal(
+            0.0, 0.8, n_d))))
+        df["play"] = (finish * v * 1000.0 * rng.lognormal(
+            0.0, 0.4, n_d)).astype(np.int64)
+        df["stay"] = df["play"] + rng.gamma(1.2, 2000.0, n_d).astype(
+            np.int64
+        )
+        frames.append(df)
+    ua = pd.concat(frames, ignore_index=True)
+    ua.to_csv(os.path.join(out_dir, "user_action.csv"), index=False)
+
+    # Bayes-optimal AUC per action on the test day (the generator knows
+    # the true event probabilities): the ceiling any model can reach.
+    # Latent scales are tuned so this sits at ~0.93-0.96, putting
+    # *trained* models in the reference's 0.85-0.92 band.
+    test_mask = ua["date_"].values == DAYS
+    test_logits = np.concatenate(
+        [base for (df, base, _, _) in day_frames[DAYS - 1:]], axis=0
+    )
+    bayes = {}
+    for j, action in enumerate(ACTIONS):
+        y = ua.loc[test_mask, action].values
+        s_ = test_logits[:, j]
+        order = np.argsort(s_, kind="stable")
+        ranks = np.empty_like(order, dtype=np.float64)
+        ranks[order] = np.arange(1, len(s_) + 1)
+        n_pos, n_neg = int(y.sum()), int((1 - y).sum())
+        if n_pos and n_neg:
+            bayes[action] = round(
+                float(
+                    (ranks[y == 1].sum() - n_pos * (n_pos + 1) / 2)
+                    / (n_pos * n_neg)
+                ),
+                4,
+            )
+
+    win = ua[ua["date_"].between(8, DAYS)]
+    return {
+        "rows": int(len(ua)),
+        "train_window_rows": int(len(win)),
+        "bayes_auc_test_day": bayes,
+        "realized_rates": {
+            a_: round(float(win[a_].mean()), 6) for a_ in ACTIONS
+        },
+        "target_rates": dict(ACTION_RATES),
+        "realized_uv": realized_uv,
+        "target_uv": [int(round(u * s)) for u in PER_DAY_UV],
+        "realized_feed_unique": realized_funiq,
+        "target_feed_unique": [
+            int(round(u * s)) for u in PER_DAY_FEED_UNIQUE
+        ],
+        "n_users": n_users, "n_feeds": n_feeds, "n_authors": n_authors,
+        "tuned_feed_zipf_alpha": round(alpha, 3),
+    }
+
+
+def make_calibrated_dataset(
+    scale: float = 1.0,
+    seed: int = 0,
+    cache_dir: str = "/tmp/rank_tpu_calibrated",
+    cfg: Optional[CalibratedLogConfig] = None,
+) -> Tuple[Dict[str, np.ndarray], Dict[str, np.ndarray], "object"]:
+    """Generate (or reuse from cache) a calibrated log, run the full
+    WeChatETL over it, and return ``(train, test, schema)`` where train/
+    test are loader-ready dict-of-arrays and ``schema`` carries the vocab
+    sizes measured from the generated data (schema_from_vocab_dir)."""
+    from ..features import WECHAT_SCHEMA, schema_from_vocab_dir
+    from .encode import load_npz
+    from .etl import WeChatETL
+
+    cfg = cfg or CalibratedLogConfig(scale=scale, seed=seed)
+    tag = f"s{cfg.scale:g}_seed{cfg.seed}_r{cfg.latent_rank}"
+    root = os.path.join(cache_dir, tag)
+    dataset_dir = os.path.join(root, "dataset")
+    out_path = os.path.join(root, "etl")
+    stamp = os.path.join(root, "LOG_ALREADY")
+    if not os.path.exists(stamp):
+        import json
+
+        stats = make_calibrated_log(dataset_dir, cfg)
+        with open(os.path.join(root, "log_stats.json"), "w") as f:
+            json.dump(stats, f, indent=1)
+        with open(stamp, "w"):
+            pass
+    etl = WeChatETL(dataset_dir, out_path)
+    etl.run()
+    schema = schema_from_vocab_dir(WECHAT_SCHEMA, etl.vocab_dir)
+    train = load_npz(os.path.join(etl.array_dir, "train.npz"))
+    test = load_npz(os.path.join(etl.array_dir, "test.npz"))
+    return train, test, schema
