@@ -52,8 +52,16 @@ def bench_jax(model_name: str) -> float:
         batches.append(trainer._host_to_device(b))
 
     state = trainer.init_state(batches[0])
-    step_fn = trainer._get_compiled("train")
     meters = trainer.meters_init()
+    # AOT-compile so the SAME executable gives both the timing loop and
+    # XLA's analytic FLOPs/bytes for the MFU report (scripts/mfu_roofline.py)
+    compiled = (
+        trainer._get_compiled("train").lower(state, meters, batches[0]).compile()
+    )
+    from rank_tpu.utils import roofline as R
+
+    costs = R.xla_step_costs(compiled)
+    step_fn = compiled
 
     for i in range(JAX_WARMUP):
         state, meters = step_fn(state, meters, batches[i % 4])
@@ -70,7 +78,13 @@ def bench_jax(model_name: str) -> float:
         float(meters["loss"])  # honest end-of-window fence
         times.append(time.perf_counter() - t0)
     dt = sorted(times)[len(times) // 2]
-    return BATCH_JAX * JAX_STEPS / dt
+    eps = BATCH_JAX * JAX_STEPS / dt
+    mfu = (
+        R.roofline(costs["flops"] / BATCH_JAX, costs["bytes"] / BATCH_JAX, eps)
+        if costs
+        else None
+    )
+    return eps, mfu
 
 
 # ---------------------------------------------------------------------------
@@ -1064,16 +1078,23 @@ def bench_torch(model_name: str) -> float:
 def main():
     results = {}
     for model in ("dcn", "bst"):
-        jax_eps = bench_jax(model)
+        jax_eps, mfu = bench_jax(model)
         torch_eps = bench_torch(model)
         results[model] = {
             "jax_tpu": jax_eps,
             "torch_cpu": torch_eps,
             "speedup": jax_eps / torch_eps,
+            "mfu": mfu,
         }
+        roof = (
+            f"  mfu={mfu['mfu_pct']}% hbm_bw={mfu['hbm_bw_pct']}% "
+            f"({mfu['bound']}-bound, {mfu['pct_of_roofline']}% of roofline)"
+            if mfu
+            else ""
+        )
         print(
             f"# {model}: jax_tpu={jax_eps:,.0f} ex/s  "
-            f"torch_cpu={torch_eps:,.0f} ex/s  x{jax_eps/torch_eps:.1f}",
+            f"torch_cpu={torch_eps:,.0f} ex/s  x{jax_eps/torch_eps:.1f}{roof}",
             file=sys.stderr,
         )
     value = float(np.sqrt(results["dcn"]["jax_tpu"] * results["bst"]["jax_tpu"]))
@@ -1086,6 +1107,12 @@ def main():
         "the shared pool moved the denominator, not the TPU numerator)",
         file=sys.stderr,
     )
+    def _mfu_key(key):
+        return {
+            m: (round(results[m]["mfu"][key], 2) if results[m]["mfu"] else None)
+            for m in results
+        }
+
     print(
         json.dumps(
             {
@@ -1093,6 +1120,11 @@ def main():
                 "value": round(value, 1),
                 "unit": "examples/s/chip",
                 "vs_baseline": round(vs, 2),
+                # roofline context (scripts/mfu_roofline.py, MFU_r04.json):
+                # these models are HBM-bandwidth-bound at d=16, so the
+                # meaningful ceiling is hbm_bw_pct, not MFU
+                "mfu_pct": _mfu_key("mfu_pct"),
+                "hbm_bw_pct": _mfu_key("hbm_bw_pct"),
             }
         )
     )

@@ -10,9 +10,12 @@ the chip peaks, so "at hardware ceilings" claims are checkable numbers:
     intermediate).
   * For DCN the XLA count is cross-checked against a from-first-principles
     hand formula (Dense-tower matmul chain + embedding gathers,
-    ``dcn_hand_count``) in scripts/mfu_roofline.py; the two agree within
-    tolerance, grounding the compiler numbers for the architectures where
+    ``dcn_hand_count``) in scripts/mfu_roofline.py; FLOPs agree within 1%,
+    grounding the compiler numbers for the architectures where
     hand-counting every einsum would be error-prone (BST attention, CIN).
+    The hand bytes formula is a perfect-fusion lower bound; the XLA count
+    is the compiled program's actual fusion-boundary traffic and is the
+    one the roofline uses (see scripts/mfu_roofline.py docstring).
 
 Peaks are TPU v5e (the bench chip): 197 TFLOP/s bf16 MXU, 819 GB/s HBM
 (public v5e spec; the platform already runs bf16-input MXU passes for f32

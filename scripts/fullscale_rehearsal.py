@@ -33,7 +33,25 @@ def peak_hbm_gb():
 
     try:
         stats = jax.local_devices()[0].memory_stats()
-        return round(stats.get("peak_bytes_in_use", 0) / 2**30, 2)
+        if stats:
+            return round(stats.get("peak_bytes_in_use", 0) / 2**30, 2)
+    except Exception:
+        pass
+    return None
+
+
+def resident_hbm_gb():
+    """Live-buffer walk fallback (VERDICT r3 #9): the axon backend returns
+    no memory_stats(), so report the sum of all device-resident jax.Array
+    buffers instead. Taken at end-of-run (staged matrices + train state +
+    meters + eval outputs all live), this is the steady-state HBM resident
+    set; true transient peak additionally includes the step's temp
+    allocation, reported separately as ``step_temp_gb`` from the compiled
+    executable's memory_analysis()."""
+    import jax
+
+    try:
+        return round(sum(a.nbytes for a in jax.live_arrays()) / 2**30, 2)
     except Exception:
         return None
 
@@ -108,6 +126,12 @@ def run_one(model_name, train_d, eval_d, epochs, batch, out_root,
         rec["predictions_rows"] = sum(1 for _ in f) - 1
     assert rec["predictions_rows"] == eval_rows, rec["predictions_rows"]
     rec["peak_hbm_gb"] = peak_hbm_gb()
+    if rec["peak_hbm_gb"] is None:
+        # axon exposes no memory_stats(); report the live-buffer resident
+        # set instead (staged matrices + state + eval outputs all alive
+        # here), so the memory field is a real number, not null
+        rec["resident_hbm_gb"] = resident_hbm_gb()
+        rec["hbm_probe"] = "live_buffer_walk"
 
     # free the staged arrays before the next model
     del runner, state
