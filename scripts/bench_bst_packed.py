@@ -203,10 +203,22 @@ def main():
         d_model=d, num_heads=h, max_len=t, compute_dtype="float32",
         attn_impl="vpu", score_dtype="float32",
     )
-    out_a = np.asarray(block32.apply({"params": params}, x, valid))
-    out_b = np.asarray(
-        dmajor_block(params, x_dtb, valid_tb, h, compute_dtype="float32")
-    )
+    # TPU lowers f32 matmuls to bf16-input MXU passes by default
+    # (docs/REPRODUCING.md §5); force true-f32 passes for the parity gate
+    # so the tight tolerance holds on every platform
+    with jax.default_matmul_precision("highest"):
+        out_a = np.asarray(
+            jax.jit(lambda p, xx: block32.apply({"params": p}, xx, valid))(
+                params, x
+            )
+        )
+        out_b = np.asarray(
+            jax.jit(
+                lambda p, xx: dmajor_block(
+                    p, xx, valid_tb, h, compute_dtype="float32"
+                )
+            )(params, x_dtb)
+        )
     out_b = np.transpose(out_b, (2, 1, 0))
     scale_out = float(np.max(np.abs(out_a)))
     rel_b = float(np.max(np.abs(out_a - out_b))) / max(scale_out, 1e-9)
@@ -221,8 +233,13 @@ def main():
             dmajor_block(p, xx, valid_tb, h, compute_dtype="float32") * cot_dtb
         )
 
-    ga = jax.tree_util.tree_leaves(jax.grad(loss_a32)(params, x))
-    gb = jax.tree_util.tree_leaves(jax.grad(loss_b32)(params, x_dtb))
+    with jax.default_matmul_precision("highest"):
+        ga = jax.tree_util.tree_leaves(
+            jax.jit(jax.grad(loss_a32))(params, x)
+        )
+        gb = jax.tree_util.tree_leaves(
+            jax.jit(jax.grad(loss_b32))(params, x_dtb)
+        )
     gmax = max(float(np.max(np.abs(np.asarray(l)))) for l in ga)
     rel_g = max(
         float(np.max(np.abs(np.asarray(la) - np.asarray(lb)))) / gmax
