@@ -34,7 +34,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-CHAIN = 32
+CHAIN = 512
 
 
 def _padded_device_batch(pred, batch_np, bucket):
