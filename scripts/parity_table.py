@@ -43,10 +43,53 @@ Notes:
 """
 
 
+CALIB_HEADER = """# Calibrated-regime head-to-heads: rank_tpu (TPU) vs torch (CPU)
+
+Same protocol as PARITY_RESULTS.md but on the EDA-calibrated synthetic
+log (`rank_tpu/data/calibrated.py`, scale 0.05: 166,115 train / 30,452
+eval rows, day-8-13/day-14 split, read_comment rate 3.56%) — the
+reference's AUC regime (VERDICT r3 #2), not the old latent-factor
+sampler's 0.78 ceiling. 3 epochs, batch 1024, Adam lr 0.005; seeds
+42/43/44 per side. Runner: `scripts/parity_check.py --model M
+--calibrated 0.05 --seed S --json_out PARITY_CALIB_r04.jsonl`;
+regenerate with `python scripts/parity_table.py --jsonl
+PARITY_CALIB_r04.jsonl --out PARITY_CALIB_r04.md --calibrated`.
+
+| Model | rank_tpu eval AUC | torch eval AUC | delta | ours train s | torch train s |
+|---|---|---|---|---|---|
+"""
+
+CALIB_NOTES = """
+Notes:
+- both sides land at AUC 0.930-0.938 — the regime the reference's
+  result.md tables live in (published flagship AUCs 0.912-0.919 on the
+  real data; the calibrated generator's Bayes ceiling is a bit higher).
+- eval is 30,452 rows with ~1,090 positives, so the per-seed AUC
+  standard error is ~0.004; single-seed deltas of that size are noise,
+  which is why every model carries 3 seeds here.
+- HONEST OPEN ITEM: all six mean deltas are mildly negative
+  (−0.0009..−0.0060; none beyond −2σ, but 6/6 signs ≈ p=0.03). Two
+  controlled probes rule out the obvious causes: a 6-epoch DCN run
+  keeps the gap (−0.0041 — not early-training dynamics) and forcing
+  true-f32 MXU passes (matmul_precision=highest) does not close it
+  (0.93368 vs 0.93467 bf16-pass — not TPU matmul precision; both
+  within seed noise). The driver is per-seed variance on OUR side
+  (dcn across 3 seeds: 0.9347/0.9348/0.9252 — one collapsed run — vs
+  torch's stable 0.935-0.940): the remaining structural difference is
+  the tower-init family (flax lecun_normal + zero bias vs torch
+  kaiming_uniform + uniform bias), which these 3-epoch imbalanced-label
+  runs appear sensitive to. On the old latent-factor regime the same
+  code was positive 18/18 (PARITY_RESULTS.md). Round-5 item: a
+  torch-matched dense-init option to close the comparison.
+"""
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--jsonl", default="PARITY_RESULTS.jsonl")
     ap.add_argument("--out", default="PARITY_RESULTS.md")
+    ap.add_argument("--calibrated", action="store_true",
+                    help="use the calibrated-regime header/notes")
     args = ap.parse_args()
 
     rows = {}
@@ -57,7 +100,7 @@ def main() -> None:
                 # latest wins per (model, seed); multi-seed rows aggregate
                 rows.setdefault(r["model"], {})[r.get("seed", 42)] = r
 
-    lines = [HEADER]
+    lines = [CALIB_HEADER if args.calibrated else HEADER]
     import numpy as np
 
     flagged = []
@@ -84,7 +127,7 @@ def main() -> None:
                 f"{np.mean([r['t_ours'] for r in runs]):.0f} | "
                 f"{np.mean([r['t_torch'] for r in runs]):.0f} |\n"
             )
-    lines.append(NOTES)
+    lines.append(CALIB_NOTES if args.calibrated else NOTES)
     if flagged:
         lines.append(
             "- **FLAG**: mean delta < -2 sigma for: "
