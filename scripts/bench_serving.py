@@ -71,12 +71,24 @@ def device_latency_ms(pred, batch_np, repeats=10):
     def make_chained(chain):
         def chained(variables, batch):
             def body(i, acc):
-                b2 = dict(batch)
-                # data dependency XLA cannot fold away (1e-38 != 0) nor
-                # parallelise (acc comes from the previous iteration)
-                b2["dense"] = batch["dense"] + acc * jnp.float32(1e-38)
+                # thread the dependency through EVERY input feature, not
+                # just dense: otherwise XLA hoists the loop-invariant
+                # id-embedding subgraph out of the fori_loop (LICM) and
+                # the chain times only the dense-dependent slice
+                # (measured: BST b1024 "62us", 13x below its fwd cost).
+                # bump_f is dynamically 0-ish (1e-38) and bump_i exactly
+                # 0 at runtime, but neither is foldable at compile time.
+                bump_f = acc * jnp.float32(1e-38)
+                bump_i = bump_f.astype(jnp.int32)
+                b2 = {
+                    k: v + (bump_f if jnp.issubdtype(v.dtype, jnp.floating)
+                            else bump_i).astype(v.dtype)
+                    for k, v in batch.items()
+                }
                 out = apply_fn(variables, b2)
-                return sum(jnp.sum(v) for v in out.values())
+                return sum(
+                    jnp.sum(v.astype(jnp.float32)) for v in out.values()
+                )
 
             return lax.fori_loop(0, chain, body, jnp.float32(0.0))
 
