@@ -40,6 +40,12 @@ Notes:
   printed by the runner.
 - times are wall-clock including compile; the TPU tunnel adds
   100-400 s of compile+transfer per model (docs/REPRODUCING.md §5).
+- bst is the one remaining single-seed row here (its ours-side costs
+  ~29 min/seed at these row counts); it carries 3 seeds per side in the
+  calibrated-regime table instead (PARITY_CALIB_r04.md).
+- the four mildly-negative mean rows (afm/deepfm/ffm/pnn) are the
+  categorical-only/low-signal models whose AUCs sit at 0.50-0.68 on
+  BOTH sides; their sigmas are as large as their deltas.
 """
 
 
