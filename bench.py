@@ -1,7 +1,12 @@
 """Benchmark: train-step throughput (examples/s/chip) for DCN + BST.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "examples/s/chip", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "examples/s/chip", "vs_baseline": N,
+   "mfu_pct": {"dcn": .., "bst": ..}, "hbm_bw_pct": {"dcn": .., "bst": ..}}
+
+mfu_pct / hbm_bw_pct come from an XLA cost_analysis of the compiled step
+against TPU v5e peaks (197 bf16 TFLOP/s, 819 GB/s); see
+scripts/mfu_roofline.py for the full per-model roofline artifact.
 
 - value: geometric mean of steady-state JAX-on-TPU training throughput for
   the DCN and BST reference configs (WeChat schema, full vocab sizes).
@@ -30,7 +35,7 @@ TORCH_WARMUP = 2
 HIST_LEN = 50
 
 
-def bench_jax(model_name: str) -> float:
+def bench_jax(model_name: str) -> "tuple[float, dict | None]":
     import jax
 
     from rank_tpu.data.synthetic import make_synthetic_dataset

@@ -104,6 +104,10 @@ def build_parser() -> argparse.ArgumentParser:
                    "'highest' measured free at the WeChat dims — see "
                    "docs/REPRODUCING.md section 5)")
     p.add_argument("--multihot_tags", type=_str2bool, default=None)
+    p.add_argument("--dense_init", type=str, default=None,
+                   choices=("lecun", "torch"),
+                   help="dense-layer init family: flax lecun defaults or "
+                   "torch nn.Linear defaults (ops/mlp.py dense_init_kwargs)")
     p.add_argument(
         "--device_resident", type=_str2bool, default=True,
         help="stage the whole dataset in HBM and run each epoch as one "
@@ -141,6 +145,7 @@ _CFG_MAP = {
     "autoint_heads": int,
     "autoint_att_dim": int,
     "embedding_mode": str,
+    "dense_init": str,
 }
 
 

@@ -47,6 +47,13 @@ class ModelConfig:
     # measured on synthetic data it beats small-scale inits by ~0.03 AUC
     # (CTR embeddings need initial magnitude at Adam lr 5e-3).
     embedding_init: str = "normal"
+    # dense-layer init family: 'lecun' (flax default: lecun_normal kernel,
+    # zero bias) or 'torch' (torch nn.Linear defaults: uniform
+    # +-1/sqrt(fan_in) kernel AND bias; DCN cross weights N(0,0.02)).
+    # 'torch' makes calibrated-regime head-to-heads vs the bench.py torch
+    # mirrors compare learning dynamics rather than init families, and
+    # fixes the 3-epoch DCN seed collapse (PARITY_CALIB_r04.md).
+    dense_init: str = "lecun"
     # DIN
     activation: str = "dice"
     use_softmax: bool = True
@@ -164,6 +171,15 @@ class RankModel(nn.Module):
 
     def dense_input(self, batch: Batch) -> jnp.ndarray:
         return batch["dense"]
+
+    def dense(self, features: int, fan_in: int, name: str = None, **kw):
+        """nn.Dense honouring ``cfg.dense_init`` (ops/mlp.py)."""
+        from ..ops.mlp import dense_init_kwargs
+
+        return nn.Dense(
+            features, name=name,
+            **dense_init_kwargs(self.cfg.dense_init, fan_in), **kw,
+        )
 
     def uniform_tables(self, fields: Sequence[str], dim: int, prefix: str = "emb"):
         """Create per-field tables with one shared dim (FM-family models)."""

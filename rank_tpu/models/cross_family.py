@@ -28,12 +28,15 @@ class DCN(RankModel):
         coll = self.embedding_collection()
         field_embs = self.tower_field_embeddings(coll, batch)
         x0 = jnp.concatenate([self.dense_input(batch)] + field_embs, axis=-1)
-        cross = ops.CrossNetwork(cfg.num_cross_layers, name="cross")(x0)
+        cross = ops.CrossNetwork(
+            cfg.num_cross_layers, dense_init=cfg.dense_init, name="cross"
+        )(x0)
         deep = ops.MLPTower(
             cfg.hidden_units, activation="relu", batch_norm=False,
-            dropout_rate=0.0, name="dnn",
+            dropout_rate=0.0, dense_init=cfg.dense_init, name="dnn",
         )(x0, train=train)
-        logit = nn.Dense(1, name="output")(jnp.concatenate([cross, deep], axis=-1))
+        cat = jnp.concatenate([cross, deep], axis=-1)
+        logit = self.dense(1, cat.shape[-1], name="output")(cat)
         return single_task_output(logit)
 
 
@@ -45,9 +48,10 @@ class DeepCrossing(RankModel):
         field_embs = self.tower_field_embeddings(coll, batch)
         x0 = jnp.concatenate([self.dense_input(batch)] + field_embs, axis=-1)
         h = ops.ResidualStack(
-            cfg.residual_internal_dim, cfg.num_residual_units, name="residual"
+            cfg.residual_internal_dim, cfg.num_residual_units,
+            dense_init=cfg.dense_init, name="residual",
         )(x0)
-        return single_task_output(nn.Dense(1, name="output")(h))
+        return single_task_output(self.dense(1, h.shape[-1], name="output")(h))
 
 
 class XDeepFM(RankModel):
@@ -61,19 +65,21 @@ class XDeepFM(RankModel):
         embs = jnp.stack([tables[f](batch[f]) for f in AFM_FIELDS], axis=1)
 
         lin = sum(linear[f](batch[f]) for f in AFM_FIELDS)
-        lin = lin + nn.Dense(1, name="linear_dense")(self.dense_input(batch))
+        nd = self.dense_input(batch)
+        lin = lin + self.dense(1, nd.shape[-1], name="linear_dense")(nd)
 
         cin_out = ops.CIN(cfg.cin_layer_sizes, name="cin")(embs)
-        cin_logit = nn.Dense(1, name="cin_output")(cin_out)
+        cin_logit = self.dense(1, cin_out.shape[-1], name="cin_output")(cin_out)
 
         deep_in = jnp.concatenate(
             [self.dense_input(batch), embs.reshape(embs.shape[0], -1)], axis=-1
         )
         deep = ops.MLPTower(
             cfg.hidden_units, activation="relu", batch_norm=cfg.batch_norm,
-            dropout_rate=cfg.dropout_rate, name="dnn",
+            dropout_rate=cfg.dropout_rate, dense_init=cfg.dense_init,
+            name="dnn",
         )(deep_in, train=train)
-        deep_logit = nn.Dense(1, name="deep_output")(deep)
+        deep_logit = self.dense(1, deep.shape[-1], name="deep_output")(deep)
         return single_task_output(lin + cin_logit + deep_logit)
 
 
@@ -101,9 +107,10 @@ class FiBiNet(RankModel):
         )
         h = ops.MLPTower(
             cfg.hidden_units, activation="relu", batch_norm=cfg.batch_norm,
-            dropout_rate=cfg.dropout_rate, name="dnn",
+            dropout_rate=cfg.dropout_rate, dense_init=cfg.dense_init,
+            name="dnn",
         )(x, train=train)
-        return single_task_output(nn.Dense(1, name="output")(h))
+        return single_task_output(self.dense(1, h.shape[-1], name="output")(h))
 
 
 class AutoInt(RankModel):
@@ -140,5 +147,6 @@ class AutoInt(RankModel):
                 score_dtype=cfg.transformer_score_dtype,
                 name=f"interact_{i}",
             )(e)
-        logit = nn.Dense(1, name="output")(e.reshape(e.shape[0], -1))
+        flat = e.reshape(e.shape[0], -1)
+        logit = self.dense(1, flat.shape[-1], name="output")(flat)
         return single_task_output(logit)

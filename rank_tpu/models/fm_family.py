@@ -44,11 +44,12 @@ class DeepFM(RankModel):
             batch_norm=cfg.batch_norm,
             dropout_rate=cfg.dropout_rate,
             order="bn_act",
+            dense_init=cfg.dense_init,
         )(deep_in, train=train)
-        deep_logit = nn.Dense(1, name="deep_output")(deep)
+        deep_logit = self.dense(1, deep.shape[-1], name="deep_output")(deep)
 
         fused = jnp.concatenate([fm1, fm2, deep_logit], axis=-1)
-        logit = nn.Dense(1, name="final_layer")(fused)
+        logit = self.dense(1, 3, name="final_layer")(fused)
         return single_task_output(logit)
 
 
@@ -101,14 +102,17 @@ class AFM(RankModel):
     def __call__(self, batch: Batch, train: bool = False):
         cfg = self.cfg
         tables = self.uniform_tables(AFM_FIELDS, cfg.embedding_dim, "emb")
-        dense_logit = nn.Dense(1, name="dense_layer")(self.dense_input(batch))
+        nd = self.dense_input(batch)
+        dense_logit = self.dense(1, nd.shape[-1], name="dense_layer")(nd)
         embs = jnp.stack([tables[f](batch[f]) for f in AFM_FIELDS], axis=1)
         pairs = ops.pairwise_hadamard(embs)  # (B, P, E)
-        h = nn.relu(nn.Dense(cfg.attention_factor, name="att_1")(pairs))
-        scores = nn.Dense(1, name="att_2")(h)  # (B, P, 1)
+        h = nn.relu(
+            self.dense(cfg.attention_factor, pairs.shape[-1], name="att_1")(pairs)
+        )
+        scores = self.dense(1, h.shape[-1], name="att_2")(h)  # (B, P, 1)
         weights = nn.softmax(scores, axis=1)
         pooled = jnp.sum(pairs * weights, axis=1)  # (B, E)
-        afm_logit = nn.Dense(1, name="p")(pooled)
+        afm_logit = self.dense(1, pooled.shape[-1], name="p")(pooled)
         return single_task_output(dense_logit + afm_logit)
 
 
@@ -133,8 +137,9 @@ class PNN(RankModel):
             activation="relu",
             batch_norm=cfg.batch_norm,
             dropout_rate=cfg.dropout_rate,
+            dense_init=cfg.dense_init,
         )(x, train=train)
-        return single_task_output(nn.Dense(1)(h))
+        return single_task_output(self.dense(1, h.shape[-1])(h))
 
 
 class WideDeep(RankModel):
@@ -147,7 +152,8 @@ class WideDeep(RankModel):
         coll = self.embedding_collection()
         linear = self.uniform_tables(AFM_FIELDS, 1, "wide")
         wide = sum(linear[f](batch[f]) for f in AFM_FIELDS)
-        wide = wide + nn.Dense(1, name="wide_dense")(self.dense_input(batch))
+        nd = self.dense_input(batch)
+        wide = wide + self.dense(1, nd.shape[-1], name="wide_dense")(nd)
         field_embs = self.tower_field_embeddings(coll, batch)
         deep_in = jnp.concatenate([self.dense_input(batch)] + field_embs, axis=-1)
         h = ops.MLPTower(
@@ -155,8 +161,9 @@ class WideDeep(RankModel):
             activation="relu",
             batch_norm=cfg.batch_norm,
             dropout_rate=cfg.dropout_rate,
+            dense_init=cfg.dense_init,
         )(deep_in, train=train)
-        deep = nn.Dense(1, name="deep_output")(h)
+        deep = self.dense(1, h.shape[-1], name="deep_output")(h)
         return single_task_output(wide + deep)
 
 
@@ -189,7 +196,8 @@ class FLEN(RankModel):
         emb = jnp.stack([tables[f](batch[f]) for f in fields], axis=1)
 
         h_s = sum(linear[f](batch[f]) for f in fields)
-        h_s = h_s + nn.Dense(1, name="dense_linear")(self.dense_input(batch))
+        nd = self.dense_input(batch)
+        h_s = h_s + self.dense(1, nd.shape[-1], name="dense_linear")(nd)
 
         m = len(cfg.flen_groups)
         r_intra = self.param("r_intra", nn.initializers.ones, (m,))
@@ -208,7 +216,8 @@ class FLEN(RankModel):
             activation="relu",
             batch_norm=cfg.batch_norm,
             dropout_rate=cfg.dropout_rate,
+            dense_init=cfg.dense_init,
         )(mlp_in, train=train)
 
         out = jnp.concatenate([h_s, h_fwbi, h_mlp], axis=-1)
-        return single_task_output(nn.Dense(1, name="final")(out))
+        return single_task_output(self.dense(1, out.shape[-1], name="final")(out))

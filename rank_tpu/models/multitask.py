@@ -21,27 +21,34 @@ import jax.numpy as jnp
 
 from .. import ops
 from ..embedding.collection import EmbeddingCollection
+from ..ops.mlp import dense_init_kwargs
 from .base import Batch, RankModel
 
 
 class _Expert(nn.Module):
     units: tuple
+    dense_init: str = "lecun"
 
     @nn.compact
     def __call__(self, x, train=False):
         for w in self.units:
-            x = nn.relu(nn.Dense(w)(x))
+            x = nn.relu(
+                nn.Dense(w, **dense_init_kwargs(self.dense_init, x.shape[-1]))(x)
+            )
         return x
 
 
 class _TaskTower(nn.Module):
     units: tuple
+    dense_init: str = "lecun"
 
     @nn.compact
     def __call__(self, x, train=False):
         for w in self.units:
-            x = nn.relu(nn.Dense(w)(x))
-        return nn.Dense(1)(x)[..., 0]
+            x = nn.relu(
+                nn.Dense(w, **dense_init_kwargs(self.dense_init, x.shape[-1]))(x)
+            )
+        return nn.Dense(1, **dense_init_kwargs(self.dense_init, x.shape[-1]))(x)[..., 0]
 
 
 def _task_log_vars(model: RankModel) -> Dict[str, jnp.ndarray]:
@@ -71,7 +78,8 @@ class MMOE(RankModel):
         x0 = _shared_input(self, batch)
         experts = jnp.stack(
             [
-                _Expert(cfg.expert_units, name=f"expert_{i}")(x0, train)
+                _Expert(cfg.expert_units, dense_init=cfg.dense_init,
+                        name=f"expert_{i}")(x0, train)
                 for i in range(cfg.num_experts)
             ],
             axis=1,
@@ -79,12 +87,13 @@ class MMOE(RankModel):
         logits: Dict[str, jnp.ndarray] = {}
         for task in cfg.tasks:
             gate = nn.softmax(
-                nn.Dense(cfg.num_experts, name=f"gate_{task}")(x0), axis=-1
+                self.dense(cfg.num_experts, x0.shape[-1], name=f"gate_{task}")(x0),
+                axis=-1,
             )  # (B, E)
             mixed = jnp.einsum("be,beh->bh", gate, experts)
-            logits[task] = _TaskTower(cfg.tower_units, name=f"tower_{task}")(
-                mixed, train
-            )
+            logits[task] = _TaskTower(
+                cfg.tower_units, dense_init=cfg.dense_init, name=f"tower_{task}"
+            )(mixed, train)
         return {"logits": logits, "aux_loss": jnp.asarray(0.0),
                 "task_log_vars": _task_log_vars(self)}
 
@@ -106,17 +115,15 @@ class PLE(RankModel):
             task_experts = []  # per task: (B, k, H)
             for ti in range(n_tasks):
                 es = [
-                    _Expert(cfg.expert_units, name=f"L{level}_t{ti}_e{k}")(
-                        inputs[ti], train
-                    )
+                    _Expert(cfg.expert_units, dense_init=cfg.dense_init,
+                            name=f"L{level}_t{ti}_e{k}")(inputs[ti], train)
                     for k in range(cfg.specific_experts_per_task)
                 ]
                 task_experts.append(jnp.stack(es, axis=1))
             shared_experts = jnp.stack(
                 [
-                    _Expert(cfg.expert_units, name=f"L{level}_shared_e{k}")(
-                        inputs[-1], train
-                    )
+                    _Expert(cfg.expert_units, dense_init=cfg.dense_init,
+                            name=f"L{level}_shared_e{k}")(inputs[-1], train)
                     for k in range(cfg.shared_experts)
                 ],
                 axis=1,
@@ -125,14 +132,16 @@ class PLE(RankModel):
             for ti in range(n_tasks):
                 pool = jnp.concatenate([task_experts[ti], shared_experts], axis=1)
                 gate = nn.softmax(
-                    nn.Dense(pool.shape[1], name=f"L{level}_gate_t{ti}")(inputs[ti]),
+                    self.dense(pool.shape[1], inputs[ti].shape[-1],
+                               name=f"L{level}_gate_t{ti}")(inputs[ti]),
                     axis=-1,
                 )
                 new_inputs.append(jnp.einsum("be,beh->bh", gate, pool))
             if not last:
                 pool = jnp.concatenate(task_experts + [shared_experts], axis=1)
                 gate = nn.softmax(
-                    nn.Dense(pool.shape[1], name=f"L{level}_gate_shared")(inputs[-1]),
+                    self.dense(pool.shape[1], inputs[-1].shape[-1],
+                               name=f"L{level}_gate_shared")(inputs[-1]),
                     axis=-1,
                 )
                 new_inputs.append(jnp.einsum("be,beh->bh", gate, pool))
@@ -141,7 +150,9 @@ class PLE(RankModel):
             inputs = new_inputs
 
         logits = {
-            task: _TaskTower(cfg.tower_units, name=f"tower_{task}")(inputs[ti], train)
+            task: _TaskTower(
+                cfg.tower_units, dense_init=cfg.dense_init, name=f"tower_{task}"
+            )(inputs[ti], train)
             for ti, task in enumerate(cfg.tasks)
         }
         return {"logits": logits, "aux_loss": jnp.asarray(0.0),
@@ -160,10 +171,12 @@ class ESMM(RankModel):
         cfg = self.cfg
         x0 = _shared_input(self, batch)
         ctr_logit = _TaskTower(
-            cfg.expert_units + cfg.tower_units, name="ctr_tower"
+            cfg.expert_units + cfg.tower_units, dense_init=cfg.dense_init,
+            name="ctr_tower",
         )(x0, train)
         cvr_logit = _TaskTower(
-            cfg.expert_units + cfg.tower_units, name="cvr_tower"
+            cfg.expert_units + cfg.tower_units, dense_init=cfg.dense_init,
+            name="cvr_tower",
         )(x0, train)
         p_ctr = nn.sigmoid(ctr_logit)
         p_ctcvr = p_ctr * nn.sigmoid(cvr_logit)

@@ -45,6 +45,7 @@ class DIN(RankModel):
         att_out = ops.DINAttention(
             use_softmax=cfg.use_softmax,
             backend=cfg.kernel_backend,
+            dense_init=cfg.dense_init,
             name="attention",
         )(target_emb, seq_emb, lengths)
         x = jnp.concatenate(
@@ -56,9 +57,10 @@ class DIN(RankModel):
             batch_norm=cfg.batch_norm,
             dropout_rate=cfg.dropout_rate,
             order="act_bn",  # DIN ordering: Linear -> Dice -> BN -> Dropout
+            dense_init=cfg.dense_init,
             name="fcn",
         )(x, train=train)
-        logit = nn.Dense(1, name="output")(h)
+        logit = self.dense(1, h.shape[-1], name="output")(h)
 
         aux = 0.0
         if cfg.mini_batch_aware_regularization and cfg.l2_lambda > 0:
@@ -94,6 +96,7 @@ class BST(RankModel):
                 dropout_rate=cfg.dropout_rate,
                 compute_dtype=cfg.transformer_dtype,
                 score_dtype=cfg.transformer_score_dtype,
+                dense_init=cfg.dense_init,
                 name=f"transformer_{i}",
             )(h, valid, train=train)
 
@@ -114,6 +117,7 @@ class BST(RankModel):
             dropout_rate=cfg.dropout_rate,
             order="bn_act",  # BST ordering: Linear -> BN -> LeakyReLU -> Dropout
             final_logit=True,
+            dense_init=cfg.dense_init,
             name="dnn",
         )(x, train=train)
         return single_task_output(out)
@@ -156,9 +160,10 @@ class DIEN(RankModel):
             batch_norm=cfg.batch_norm,
             dropout_rate=cfg.dropout_rate,
             order="act_bn",
+            dense_init=cfg.dense_init,
             name="fcn",
         )(x, train=train)
-        logit = nn.Dense(1, name="output")(h)
+        logit = self.dense(1, h.shape[-1], name="output")(h)
 
         aux = 0.0
         if cfg.use_aux_loss:

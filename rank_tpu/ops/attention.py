@@ -84,6 +84,7 @@ class DINAttention(nn.Module):
     hidden_units: Sequence[int] = (64, 32)
     use_softmax: bool = False
     backend: str = "auto"
+    dense_init: str = "lecun"  # lecun | torch (ops/mlp.py dense_init_kwargs)
 
     @nn.compact
     def __call__(
@@ -94,13 +95,19 @@ class DINAttention(nn.Module):
     ) -> jnp.ndarray:
         b, t, d = keys.shape
         h1, h2 = self.hidden_units
-        init = nn.initializers.lecun_normal()
-        w1 = self.param("w1", init, (4 * d, h1))
-        b1 = self.param("b1", nn.initializers.zeros, (h1,))
-        w2 = self.param("w2", init, (h1, h2))
-        b2 = self.param("b2", nn.initializers.zeros, (h2,))
-        w3 = self.param("w3", init, (h2, 1))
-        b3 = self.param("b3", nn.initializers.zeros, (1,))
+        if self.dense_init == "torch":
+            from .mlp import torch_uniform_init
+
+            kinit = binit = torch_uniform_init
+        else:
+            kinit = lambda _: nn.initializers.lecun_normal()
+            binit = lambda _: nn.initializers.zeros
+        w1 = self.param("w1", kinit(4 * d), (4 * d, h1))
+        b1 = self.param("b1", binit(4 * d), (h1,))
+        w2 = self.param("w2", kinit(h1), (h1, h2))
+        b2 = self.param("b2", binit(h1), (h2,))
+        w3 = self.param("w3", kinit(h2), (h2, 1))
+        b3 = self.param("b3", binit(h2), (1,))
 
         backend = self.backend
         if backend == "auto":

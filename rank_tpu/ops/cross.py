@@ -16,18 +16,34 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
+from .mlp import dense_init_kwargs
+
 
 class CrossNetwork(nn.Module):
-    """Stack of DCN-v1 cross layers over a shared x0."""
+    """Stack of DCN-v1 cross layers over a shared x0.
+
+    ``dense_init='torch'`` swaps the xavier_normal cross weights (std
+    ~0.24 at d=34) for N(0, 0.02) — the scale the torch parity mirror
+    (bench.py TorchDCN) trains with. At xavier scale the term
+    x0*(x.w) starts ~6x larger per layer, which the 3-epoch calibrated
+    runs are sensitive to (one of three DCN seeds collapsed to 0.9252
+    in PARITY_CALIB_r04.md; see the round-5 rerun for the fix evidence).
+    """
 
     num_layers: int
+    dense_init: str = "lecun"
 
     @nn.compact
     def __call__(self, x0: jnp.ndarray) -> jnp.ndarray:
         d = x0.shape[-1]
         x = x0
+        w_init = (
+            nn.initializers.normal(stddev=0.02)
+            if self.dense_init == "torch"
+            else nn.initializers.xavier_normal()
+        )
         for l in range(self.num_layers):
-            w = self.param(f"w_{l}", nn.initializers.xavier_normal(), (d, 1))
+            w = self.param(f"w_{l}", w_init, (d, 1))
             b = self.param(f"b_{l}", nn.initializers.zeros, (d,))
             xw = x @ w  # (B, 1)
             x = x0 * xw + b + x
@@ -38,20 +54,29 @@ class ResidualUnit(nn.Module):
     """DeepCrossing residual block: ReLU(x + W2 ReLU(W1 x))."""
 
     internal_dim: int
+    dense_init: str = "lecun"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        h = nn.relu(nn.Dense(self.internal_dim)(x))
-        h = nn.Dense(x.shape[-1])(h)
+        h = nn.relu(
+            nn.Dense(
+                self.internal_dim,
+                **dense_init_kwargs(self.dense_init, x.shape[-1]),
+            )(x)
+        )
+        h = nn.Dense(
+            x.shape[-1], **dense_init_kwargs(self.dense_init, h.shape[-1])
+        )(h)
         return nn.relu(x + h)
 
 
 class ResidualStack(nn.Module):
     internal_dim: int
     num_units: int
+    dense_init: str = "lecun"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         for _ in range(self.num_units):
-            x = ResidualUnit(self.internal_dim)(x)
+            x = ResidualUnit(self.internal_dim, dense_init=self.dense_init)(x)
         return x

@@ -14,9 +14,40 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from .activations import Dice, PReLU, leaky_relu
+
+
+def torch_uniform_init(fan_in: int):
+    """torch ``nn.Linear`` default: U(-1/sqrt(fan_in), 1/sqrt(fan_in)) for
+    BOTH kernel and bias (``kaiming_uniform_(a=sqrt(5))`` reduces to
+    exactly this bound; torch/nn/modules/linear.py reset_parameters)."""
+    bound = float(fan_in) ** -0.5
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def dense_init_kwargs(dense_init: str, fan_in: int) -> dict:
+    """kernel_init/bias_init kwargs for ``nn.Dense``.
+
+    ``lecun`` -> {} (flax defaults: lecun_normal kernel, zero bias);
+    ``torch`` -> torch nn.Linear defaults (uniform +-1/sqrt(fan_in) for
+    kernel AND bias). The torch option exists so calibrated-regime
+    head-to-heads vs the bench.py torch mirrors compare learning dynamics,
+    not init families (PARITY_CALIB_r04.md "HONEST OPEN ITEM"): the
+    3-epoch imbalanced-label runs are sensitive to the tower-init family.
+    """
+    if dense_init == "torch":
+        u = torch_uniform_init(fan_in)
+        return {"kernel_init": u, "bias_init": u}
+    if dense_init != "lecun":
+        raise ValueError(f"unknown dense_init {dense_init!r}")
+    return {}
 
 
 class MLPTower(nn.Module):
@@ -26,6 +57,7 @@ class MLPTower(nn.Module):
     dropout_rate: float = 0.1
     order: str = "bn_act"  # bn_act (BN before activation) | act_bn
     final_logit: bool = False  # append a Dense(1) output layer
+    dense_init: str = "lecun"  # lecun | torch (see dense_init_kwargs)
 
     def _act(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
         if self.activation == "relu":
@@ -41,7 +73,9 @@ class MLPTower(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         for width in self.hidden_units:
-            x = nn.Dense(width)(x)
+            x = nn.Dense(
+                width, **dense_init_kwargs(self.dense_init, x.shape[-1])
+            )(x)
             if self.order == "bn_act":
                 if self.batch_norm:
                     x = nn.BatchNorm(use_running_average=not train)(x)
@@ -53,5 +87,5 @@ class MLPTower(nn.Module):
             if self.dropout_rate > 0:
                 x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
         if self.final_logit:
-            x = nn.Dense(1)(x)
+            x = nn.Dense(1, **dense_init_kwargs(self.dense_init, x.shape[-1]))(x)
         return x

@@ -55,8 +55,10 @@ def main():
         scale=args.scale, seed=args.seed, cache_dir=args.cache_dir
     )
     out["t_generate_and_etl"] = round(time.time() - t0, 1)
+    from rank_tpu.data.calibrated import log_cache_tag
+
     cfg = CalibratedLogConfig(scale=args.scale, seed=args.seed)
-    tag = f"s{cfg.scale:g}_seed{cfg.seed}_r{cfg.latent_rank}"
+    tag = log_cache_tag(cfg)
     with open(os.path.join(args.cache_dir, tag, "log_stats.json")) as f:
         stats = json.load(f)
 

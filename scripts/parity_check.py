@@ -68,13 +68,14 @@ SCALAR_TAG_MODELS = (
 )
 
 
-def train_ours(model_name, train_d, eval_d, epochs, batch, seed=42):
+def train_ours(model_name, train_d, eval_d, epochs, batch, seed=42,
+               dense_init="lecun"):
     from rank_tpu.features import WECHAT_SCHEMA
     from rank_tpu.models import default_config
     from rank_tpu.train import TrainConfig, Trainer
     from rank_tpu.train.staged import StagedRunner
 
-    cfg = default_config(model_name)
+    cfg = default_config(model_name, dense_init=dense_init)
     if model_name in SCALAR_TAG_MODELS:
         cfg = cfg.replace(multihot_tags=False)
     trainer = Trainer(
@@ -209,9 +210,10 @@ def train_torch(model_name, train_d, eval_d, epochs, batch, seed=42):
     return roc_auc_score(y, p)
 
 
-def run_one(model, train_d, eval_d, epochs, batch, seed=42):
+def run_one(model, train_d, eval_d, epochs, batch, seed=42,
+            dense_init="lecun"):
     t0 = time.time()
-    ours = train_ours(model, train_d, eval_d, epochs, batch, seed)
+    ours = train_ours(model, train_d, eval_d, epochs, batch, seed, dense_init)
     t_ours = time.time() - t0
     t0 = time.time()
     torch_auc = train_torch(model, train_d, eval_d, epochs, batch, seed)
@@ -221,7 +223,8 @@ def run_one(model, train_d, eval_d, epochs, batch, seed=42):
         f"{t_ours:.0f}s | torch (CPU): {torch_auc:.5f} in {t_torch:.0f}s | "
         f"delta {ours - torch_auc:+.5f}"
     )
-    return {"model": model, "seed": seed, "ours": ours, "torch": torch_auc,
+    return {"model": model, "seed": seed, "dense_init": dense_init,
+            "ours": ours, "torch": torch_auc,
             "delta": ours - torch_auc, "t_ours": t_ours, "t_torch": t_torch}
 
 
@@ -243,6 +246,12 @@ def main():
                     "full-size tables and stay apples-to-apples.")
     ap.add_argument("--json_out", default=None,
                     help="append one JSON line per model to this file")
+    ap.add_argument("--dense_init", default="lecun",
+                    choices=("lecun", "torch"),
+                    help="our side's dense-init family; 'torch' matches the "
+                    "mirrors' nn.Linear defaults so the head-to-head "
+                    "compares learning dynamics, not init families "
+                    "(PARITY_CALIB_r04.md open item)")
     args = ap.parse_args()
 
     from rank_tpu.data.loader import split_train_test
@@ -259,7 +268,7 @@ def main():
 
     names = MODELS if args.model == "all" else (args.model,)
     results = [run_one(m, train_d, eval_d, args.epochs, args.batch,
-                       args.seed)
+                       args.seed, args.dense_init)
                for m in names]
     if args.json_out:
         import json

@@ -29,8 +29,12 @@ SWEEPS = {
         "num_cross_layer": [0, 1, 2, 3, 4],
     },
     "deepcrossing": {
-        "residual_internal_dim": [64, 128, 256, 512],
-        "residual_network_num": [1, 2],
+        # algorithm/DeepCrossing/result.md rows 1-8: dims {128,256} x
+        # units {1..4} (r04 swept dims {64..512} x units {1,2} — wrong
+        # cells; units 3/4, the depths the reference actually explored,
+        # had never run. VERDICT r4 weak #3.)
+        "residual_internal_dim": [128, 256],
+        "residual_network_num": [1, 2, 3, 4],
     },
     "din": {
         "activation": ["dice", "prelu"],
@@ -38,13 +42,21 @@ SWEEPS = {
         "mini_batch_aware_regularization": ["true", "false"],
     },
     "bst": {
+        # algorithm/BST/result.md sweeps heads {2,3,4,5}; 3 and 5 do not
+        # divide d_model=16 (any standard MHA head split needs d % h == 0)
+        # so this grid substitutes the power-of-two ladder {1,2,4,8} —
+        # documented divergence, same blocks x pooling axes.
         "num_transformer_blocks": [1, 2],
         "nhead": [1, 2, 4, 8],
         "pooling_method": ["sum", "mean"],
     },
     "afm": {
+        # algorithm/AFM/result.md rows 1-9: dim {8,16,32} x
+        # attention_factor {64,128,256} (r04 swept af {16,32,64} — only
+        # the af=64 column overlapped the reference grid. VERDICT r4
+        # weak #3.)
         "embedding_dim": [8, 16, 32],
-        "attention_factor": [16, 32, 64],
+        "attention_factor": [64, 128, 256],
     },
     "deepfm": {"embedding_dim": [8, 16], "num_epochs": [1, 2]},
     "fwfm": {"embedding_dim": [8, 16, 32]},

@@ -33,12 +33,18 @@ def log_stats(tmp_path_factory):
 
 def test_action_rates_hit_eda_targets(log_stats):
     """Training-window positive rates match EDA cells 15/30. Common
-    actions within 15% relative; rare ones (comment 0.04%) only get a
-    few dozen positives at this scale — assert order of magnitude."""
+    actions within 15% relative; forward (0.36% -> ~300 positives here,
+    with shared user/author/pair latents clustering the draws well beyond
+    Bernoulli noise) gets 25%; rare ones (comment 0.04%) only get a few
+    dozen positives at this scale — assert order of magnitude. At scale
+    1.0 scripts/calibrate_synthetic.py pins all seven within 1-8%
+    (CALIBRATION_r04.json)."""
     got = log_stats["realized_rates"]
-    for action in ("read_comment", "like", "click_avatar", "forward"):
+    for action in ("read_comment", "like", "click_avatar"):
         assert abs(got[action] / ACTION_RATES[action] - 1) < 0.15, (
             action, got[action], ACTION_RATES[action])
+    assert abs(got["forward"] / ACTION_RATES["forward"] - 1) < 0.25, (
+        got["forward"], ACTION_RATES["forward"])
     for action in ("comment", "follow", "favorite"):
         assert 0.2 < got[action] / ACTION_RATES[action] < 5.0, (
             action, got[action])
@@ -46,15 +52,17 @@ def test_action_rates_hit_eda_targets(log_stats):
 
 def test_daily_uv_and_feed_uniques_track_eda_trajectories(log_stats):
     """Daily unique users within 25% of the (scaled) cell-15 UV column;
-    daily unique feeds within 40% (small-scale sampling is noisier than
-    the full-scale Poissonized fit, which lands at 3.5% mean log-err).
+    daily unique feeds within 15% — the round-5 per-day exposure
+    temperature (calibrated.py:_temper_for_uniques) pins each day's
+    expected distinct-feed count to its EDA target, replacing the global
+    alpha fit whose day-by-day shape drifted up to ~40% at small scales.
     Both must also reproduce the upward trend across the 14 days."""
     uv, uv_t = log_stats["realized_uv"], log_stats["target_uv"]
     fu, fu_t = log_stats["realized_feed_unique"], log_stats["target_feed_unique"]
     for got, tgt in zip(uv, uv_t):
         assert abs(got / tgt - 1) < 0.25, (got, tgt)
     for got, tgt in zip(fu, fu_t):
-        assert abs(got / tgt - 1) < 0.40, (got, tgt)
+        assert abs(got / tgt - 1) < 0.15, (got, tgt)
     assert np.mean(uv[-3:]) > np.mean(uv[:3])
     assert np.mean(fu[-3:]) > np.mean(fu[:3])
 

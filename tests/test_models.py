@@ -123,3 +123,57 @@ def test_esmm_ctcvr_bounded_by_ctr():
     out = model.apply(v, BATCH, train=False)
     p = out["probs"]
     assert np.all(np.asarray(p["ctcvr"]) <= np.asarray(p["ctr"]) + 1e-6)
+
+
+@pytest.mark.parametrize("name", ALL_MODELS)
+def test_torch_dense_init_builds_and_runs(name):
+    """dense_init='torch' (round-5 parity option): every model inits with
+    the same param tree as the lecun default and produces finite logits."""
+    cfg = _small_config(name).replace(dense_init="torch")
+    model = build_model(SCHEMA, cfg)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        BATCH,
+        train=True,
+    )
+    ref = build_model(SCHEMA, _small_config(name)).init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        BATCH,
+        train=True,
+    )
+    # identical tree structure + shapes — the option only changes values
+    a = jax.tree_util.tree_structure(variables["params"])
+    b = jax.tree_util.tree_structure(ref["params"])
+    assert a == b
+    out = model.apply(variables, BATCH, train=False)
+    flat = out.get("logits", out.get("probs"))
+    if isinstance(flat, dict):
+        flat = list(flat.values())[0]
+    assert np.all(np.isfinite(np.asarray(flat)))
+
+
+def test_torch_dense_init_matches_torch_bounds():
+    """The 'torch' family must match torch nn.Linear defaults: kernel AND
+    bias ~ U(+-1/sqrt(fan_in)), and DCN cross weights ~ N(0, 0.02)."""
+    from flax.core import unfreeze
+
+    cfg = default_config("dcn").replace(dense_init="torch")
+    model = build_model(SCHEMA, cfg)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        BATCH,
+        train=True,
+    )
+    params = unfreeze(variables["params"])
+    # first tower layer: fan_in = x0 dim
+    dnn0 = params["dnn"]["Dense_0"]
+    fan_in = dnn0["kernel"].shape[0]
+    bound = fan_in ** -0.5
+    for leaf in (dnn0["kernel"], dnn0["bias"]):
+        arr = np.asarray(leaf)
+        assert arr.min() >= -bound - 1e-6 and arr.max() <= bound + 1e-6
+    # bias must NOT be all zeros (torch draws it uniform)
+    assert np.abs(np.asarray(dnn0["bias"])).max() > 0
+    # cross weights at the mirror's N(0, 0.02) scale
+    w0 = np.asarray(params["cross"]["w_0"])
+    assert np.abs(w0).std() < 0.05, w0.std()
