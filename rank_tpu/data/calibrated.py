@@ -407,11 +407,11 @@ def make_calibrated_log(
         })
         for action in ACTIONS:
             df[action] = np.zeros(n_d, np.int8)  # filled after bias solve
-        day_frames.append((df, base, aff, feeds_d))
+        day_frames.append((df, base, aff, feeds_d, cross))
 
     # -- solve per-action bias on the TRAINING WINDOW, then draw labels ---
     win_logits = np.concatenate(
-        [base for (df, base, _, _) in day_frames[7:]], axis=0
+        [base for (df, base, *_ ) in day_frames[7:]], axis=0
     )
     biases = {
         action: _solve_bias(win_logits[:, j], ACTION_RATES[action])
@@ -419,7 +419,7 @@ def make_calibrated_log(
     }
     del win_logits
     frames = []
-    for (df, base, aff, feeds_d) in day_frames:
+    for (df, base, aff, feeds_d, _) in day_frames:
         n_d = len(df)
         for j, action in enumerate(ACTIONS):
             p = 1.0 / (1.0 + np.exp(-(base[:, j] + biases[action])))
@@ -444,30 +444,47 @@ def make_calibrated_log(
     # *trained* models in the reference's 0.85-0.92 band.
     test_mask = ua["date_"].values == DAYS
     test_logits = np.concatenate(
-        [base for (df, base, _, _) in day_frames[DAYS - 1:]], axis=0
+        [base for (df, base, *_ ) in day_frames[DAYS - 1:]], axis=0
     )
-    bayes = {}
-    for j, action in enumerate(ACTIONS):
-        y = ua.loc[test_mask, action].values
-        s_ = test_logits[:, j]
+    test_cross = np.concatenate(
+        [crs for (*_, crs) in day_frames[DAYS - 1:]], axis=0
+    )
+
+    def _rank_auc(s_, y):
         order = np.argsort(s_, kind="stable")
         ranks = np.empty_like(order, dtype=np.float64)
         ranks[order] = np.arange(1, len(s_) + 1)
         n_pos, n_neg = int(y.sum()), int((1 - y).sum())
-        if n_pos and n_neg:
-            bayes[action] = round(
-                float(
-                    (ranks[y == 1].sum() - n_pos * (n_pos + 1) / 2)
-                    / (n_pos * n_neg)
-                ),
-                4,
-            )
+        if not (n_pos and n_neg):
+            return None
+        return round(
+            float(
+                (ranks[y == 1].sum() - n_pos * (n_pos + 1) / 2)
+                / (n_pos * n_neg)
+            ),
+            4,
+        )
+
+    bayes, bayes_nc = {}, {}
+    for j, action in enumerate(ACTIONS):
+        y = ua.loc[test_mask, action].values
+        a1 = _rank_auc(test_logits[:, j], y)
+        # ceiling for a model blind to the id-pair crossing term: the
+        # learnable pair headroom is bayes - bayes_no_cross
+        a2 = _rank_auc(
+            test_logits[:, j] - test_cross * c_cross[j], y
+        )
+        if a1 is not None:
+            bayes[action] = a1
+        if a2 is not None:
+            bayes_nc[action] = a2
 
     win = ua[ua["date_"].between(8, DAYS)]
     return {
         "rows": int(len(ua)),
         "train_window_rows": int(len(win)),
         "bayes_auc_test_day": bayes,
+        "bayes_auc_test_day_no_cross": bayes_nc,
         "realized_rates": {
             a_: round(float(win[a_].mean()), 6) for a_ in ACTIONS
         },
