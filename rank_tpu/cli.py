@@ -108,6 +108,13 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=("lecun", "torch"),
                    help="dense-layer init family: flax lecun defaults or "
                    "torch nn.Linear defaults (ops/mlp.py dense_init_kwargs)")
+    p.add_argument("--embedding_init", type=str, default=None,
+                   choices=("normal", "normal_small", "truncated_normal",
+                            "xavier_uniform"),
+                   help="embedding table init; 'normal' is the reference's "
+                   "torch default, 'normal_small' (std 0.1) is required "
+                   "for second-order id-pair learning (embedding/"
+                   "collection.py INITIALIZERS)")
     p.add_argument(
         "--device_resident", type=_str2bool, default=True,
         help="stage the whole dataset in HBM and run each epoch as one "
@@ -146,6 +153,7 @@ _CFG_MAP = {
     "autoint_att_dim": int,
     "embedding_mode": str,
     "dense_init": str,
+    "embedding_init": str,
 }
 
 

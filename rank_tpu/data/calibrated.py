@@ -119,6 +119,19 @@ class CalibratedLogConfig:
     cross_rank: int = 4
     s_cross_author: float = 1.0
     s_cross_tag: float = 0.6
+    # exposure concentration: a recommender log is not independent draws —
+    # users repeatedly see a small set of preferred authors. For a
+    # `pref_share` fraction of each day's events the USER is re-drawn
+    # from the feed's author's preferring pool (active users only, feed
+    # marginals untouched, UV approximately preserved via the
+    # active-user fallback). Each author gets ~Poisson(pref_per_author)
+    # preferring users, so the observations-per-preferred-pair density
+    # q*events/(n_authors*pref_per_author) is SCALE-INVARIANT — matching
+    # how the real log's user-author repetition makes id-pair effects
+    # learnable at any scale (the reference's cross-depth gain,
+    # algorithm/DCN/result.md, needs this to reproduce).
+    pref_share: float = 0.35
+    pref_per_author: float = 30.0
     # user activity: P(active on a day) ~ Beta(a,b) scaled to hit UV
     activity_beta = (2.3, 1.7)
     # events per active user-day ~ lognormal(sigma) (EDA cell 19: median
@@ -145,6 +158,7 @@ def log_cache_tag(cfg: CalibratedLogConfig) -> str:
     return (
         f"s{cfg.scale:g}_seed{cfg.seed}_r{cfg.latent_rank}"
         f"_x{cfg.cross_rank}a{cfg.s_cross_author:g}t{cfg.s_cross_tag:g}"
+        f"p{cfg.pref_share:g}"
     )
 
 
@@ -351,6 +365,23 @@ def make_calibrated_log(
         np.float32
     )  # z-scored log-popularity, reused as an engagement signal
 
+    # preferring-user pools per author (exposure concentration): ~
+    # Poisson(pref_per_author) users each, drawn by activity weight so
+    # heavy users hold more preferences, as in a real log
+    if cfg.pref_share > 0:
+        per_author = np.maximum(
+            1, rng.poisson(cfg.pref_per_author, size=n_authors + 1)
+        )
+        per_author[0] = 1
+        w_all = (w_events * q_u)[1:]
+        pref_pool = rng.choice(
+            np.arange(1, n_users + 1),
+            size=int(per_author.sum()),
+            p=w_all / w_all.sum(),
+        )
+        pref_off = np.zeros(n_authors + 2, np.int64)
+        pref_off[1:] = np.cumsum(per_author)
+
     # -- per-day event generation -----------------------------------------
     day_frames = []
     realized_uv, realized_funiq = [], []
@@ -377,6 +408,22 @@ def make_calibrated_log(
             pf, n_d, max(PER_DAY_FEED_UNIQUE[d - 1] * s, 2.0)
         )
         feeds_d = rng.choice(feed_ids, size=n_d, p=pf)
+        if cfg.pref_share > 0:
+            # exposure concentration (see CalibratedLogConfig.pref_share):
+            # re-draw the user from the feed-author's preferring pool for
+            # a pref_share fraction of events; active-today users only
+            # (fallback keeps the original user), feed marginals exact
+            active_mask = np.zeros(n_users + 1, bool)
+            active_mask[active] = True
+            k = int(cfg.pref_share * n_d)
+            idx = rng.choice(n_d, size=k, replace=False)
+            a_idx = author_of_feed[feeds_d[idx] - 1]
+            lo, hi = pref_off[a_idx], pref_off[a_idx + 1]
+            cand = pref_pool[
+                lo + (rng.random(k) * (hi - lo)).astype(np.int64)
+            ]
+            take = active_mask[cand]
+            users_d[idx[take]] = cand[take]
         realized_uv.append(int(np.unique(users_d).size))
         realized_funiq.append(int(np.unique(feeds_d).size))
 

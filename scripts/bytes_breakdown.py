@@ -37,10 +37,8 @@ Usage: python scripts/bytes_breakdown.py [--models dcn,bst]
 """
 
 import argparse
-import collections
 import json
 import os
-import re
 import sys
 import time
 
@@ -48,109 +46,9 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-DT_BYTES = {
-    "f32": 4, "bf16": 2, "f16": 2, "f64": 8,
-    "s32": 4, "u32": 4, "s64": 8, "u64": 8,
-    "s16": 2, "u16": 2, "s8": 1, "u8": 1, "pred": 1,
-}
-SHAPE_RE = re.compile(
-    r"\b(f32|bf16|f16|f64|s32|u32|s64|u64|s16|u16|s8|u8|pred)\[([0-9,]*)\]"
+from rank_tpu.utils.hlo_bytes import (  # noqa: E402
+    attribute_bytes, bucket, grouped,
 )
-# ops whose listed operands are whole buffers but whose real reads touch
-# only ~output-size rows
-GATHERISH = ("gather", "dynamic-slice")
-FREE_OPS = ("parameter", "constant", "get-tuple-element", "tuple",
-            "bitcast", "after-all", "partition-id", "replica-id")
-
-
-def _nbytes(dt, dims):
-    n = DT_BYTES[dt]
-    for d in dims.split(","):
-        if d:
-            n *= int(d)
-    return n
-
-
-def attribute_bytes(hlo_text):
-    """[(bytes, opcode, name, op_name)] for the ENTRY computation, using
-    real-buffer-traffic rules (module docstring #1)."""
-    m = re.search(r"ENTRY %?\S+ .*?\{(.*?)\n\}", hlo_text, re.S)
-    assert m, "no ENTRY computation found"
-    rows = []
-    start_lines = {}  # async -start instruction name -> its line text
-    for line in m.group(1).splitlines():
-        line = line.strip()
-        mm = re.match(r"%?([\w.\-]+) = ", line)
-        if not mm:
-            continue
-        name = mm.group(1)
-        op_m = re.search(r"= .*?([a-z][a-z0-9\-]*)\(", line)
-        opcode = op_m.group(1) if op_m else "?"
-        if opcode.endswith("-start"):
-            # async -start: counted once at the matching -done; keep the
-            # line so the -done can be attributed to its source buffer
-            start_lines[name] = line
-            continue
-        if opcode in FREE_OPS:
-            continue
-        if opcode.endswith("-done"):
-            # splice in the matching -start's text for attribution
-            ref = re.search(r"\(%([\w.\-]+)\)", line)
-            if ref and ref.group(1) in start_lines:
-                line = line + " || " + start_lines[ref.group(1)]
-        body = line.split(" metadata=")[0]
-        shapes = SHAPE_RE.findall(body)
-        if not shapes:
-            continue
-        out_b = _nbytes(*shapes[0])
-        opnd_b = sum(_nbytes(dt, dims) for dt, dims in shapes[1:])
-        if opcode in GATHERISH:
-            b = 2 * out_b + 4 * 8192  # touched rows r/w + index array
-        elif opcode == "scatter":
-            # scatter(operand, indices, updates): read+write touched rows
-            # + read updates ~= 3x updates size
-            upd = _nbytes(*shapes[-1]) if len(shapes) > 2 else out_b
-            b = 3 * upd
-        elif opcode.endswith("-done"):
-            b = 2 * out_b  # the copy/slice moved out_b once each way
-        else:
-            b = out_b + opnd_b
-        md = re.search(r'op_name="([^"]+)"', line)
-        rows.append((b, opcode, name, md.group(1) if md else "", line))
-    return rows
-
-
-_BUCKETS = (
-    # order matters: bwd ("transpose(jvp") contains "jvp"
-    ("matmul_bwd", ("transpose(jvp", "dot_general")),
-    ("matmul_fwd", ("jvp", "dot_general")),
-    ("embedding_gather", ("gather",)),
-    ("embedding_scatter_grad", ("scatter",)),
-    ("attention", ("attention",)),
-    ("transformer", ("transformer",)),
-    ("optimizer_update", ("state['",)),
-    ("batch_unpack", ("unpack",)),
-)
-
-
-def bucket(op_name, opcode, line=""):
-    for label, keys in _BUCKETS:
-        if all(k in op_name for k in keys):
-            return label
-    if "adam" in op_name or "opt_state" in op_name:
-        return "optimizer_update"
-    if not op_name:
-        # async memory-space copies carry no metadata but name their
-        # source buffer: state params/moments vs batch inputs
-        if "state__" in line:
-            return "memspace_copy_state"
-        if "batch__" in line:
-            return "memspace_copy_batch"
-        if opcode.endswith("-done"):
-            return "memspace_copy_other"
-        return f"unattributed_{opcode}"
-    parts = op_name.split("/")
-    return "/".join(parts[-2:])[:60]
 
 
 def toy_fusion_overcount():
@@ -230,19 +128,16 @@ def analyze_model(model_name, batch_size, time_step=True, fit_issue=False):
         return trainer, compiled, state, meters, b
 
     trainer, compiled, state, meters, b = build(batch_size)
-    rows = attribute_bytes(compiled.as_text())
+    rows = attribute_bytes(compiled.as_text(), index_len=batch_size)
     real_bytes = sum(r[0] for r in rows)
     ca = compiled.cost_analysis()
     xla_bytes = float(ca.get("bytes accessed", 0))
     flops = float(ca.get("flops", 0))
 
-    groups = collections.Counter()
-    for bts, opcode, name, op_name, line in rows:
-        groups[bucket(op_name, opcode, line)] += bts
     top_groups = [
         {"group": k, "mb_per_step": round(v / 2**20, 2),
          "bytes_per_example": round(v / batch_size, 1)}
-        for k, v in groups.most_common(14)
+        for k, v in grouped(rows)
     ]
     top_instrs = [
         {"bytes_mb": round(bts / 2**20, 2), "opcode": opcode,

@@ -1,41 +1,61 @@
-"""Assert the unambiguous directional effects in replayed sweep grids
-(VERDICT r3 #5).
+"""Directional checks for ALL seven replayed sweep grids (VERDICT r4 #4).
 
 The reference's result.md tables are its de-facto regression suite
-(SURVEY.md §4.2). Most cells differ by ~noise, but a few effects are
-unambiguous in the reference tables and must reproduce in any faithful
-implementation once the data regime is realistic (the EDA-calibrated
-log):
+(SURVEY.md §4.2). For each grid this script states what the reference
+table actually shows (citations re-verified against the tables — round
+4's DIN/DeepFM citations were wrong, ADVICE r4), asserts the directions
+that are unambiguous there, and REPORTS (without asserting) the ones the
+table itself leaves flat or that the calibrated generator is known not to
+encode. STRICT checks exit nonzero on violation; INFO checks print a
+comparison and, where ours disagrees with the reference, an explanation
+rather than silence (the r04 FwFM inversion went unflagged — VERDICT r4
+weak #4).
 
-  * DIN: softmax-normalised attention beats raw masked weights
-    (algorithm/DIN/result.md — rows 9 vs 10: 0.9117 vs 0.9056);
-  * DeepFM: 2 epochs beat 1 (algorithm/DeepFM/result.md rows 5-6:
-    0.8530 vs 0.8123);
-  * DCN: the cross-depth response is NON-FLAT (VERDICT r3 #2 asked for
-    exactly this: the old latent-factor data gave a 0.0024 spread
-    indistinguishable from noise). Measured on the calibrated log the
-    response is a clear monotone ~0.0026 spread consistent across both
-    tower widths — but in the OPPOSITE direction from the reference
-    table (algorithm/DCN/result.md: 0.9139 no-cross -> 0.9183 3-cross):
-    on this generator cross layers mildly HURT, because the label logit
-    is low-rank-latent + aggregate-driven and the 7d-sum dense features
-    already carry the interaction signal a cross layer would build.
-    The reference's positive cross response reflects real-data crossing
-    structure the calibrated generator does not encode; asserting its
-    direction here would be calibrating to the answer. So the check is:
-    response magnitude >= 0.0015 with a consistent sign across widths.
+Reference-table facts (all under /root/reference/algorithm/):
+  * DeepFM/result.md rows 1-2: 2 epochs 0.85093 vs 1 epoch 0.81140 at
+    dim 8 — a +0.040 effect. STRICT: mean(2ep) > mean(1ep).
+  * DIN/result.md (8 rows): mini_batch_aware_regularization ON mean
+    0.90434 (rows 1,2,5,6) vs OFF 0.91134 (rows 3,4,7,8) — every paired
+    comparison agrees. STRICT: mean(MBA off) > mean(MBA on).
+    use_softmax means are 0.90766 (on, rows 5-8) vs 0.90799 (off, rows
+    1-4): FLAT — round 4 asserted a softmax direction off a misread
+    citation; now INFO-only.
+  * DCN/result.md: depth>0 beats depth 0 in both widths (512: mean
+    0.91707 vs 0.91416; 256: 0.91655 vs 0.91528). STRICT (once the
+    id-pair generator landed): non-flat response + mean(depth>0) >
+    mean(depth=0).
+  * AFM/result.md (9 rows): dim 16 > dim 8 at every attention_factor
+    (0.91164>0.90763, 0.91049>0.90855, 0.90953>0.90822). STRICT:
+    mean(dim16) > mean(dim8).
+  * DeepCrossing/result.md (8 rows): 4 residual units are the worst
+    depth in both widths (128: 0.91350 min; 256: 0.91398 min).
+    INFO: mean(units=4) < mean(units=2) — a 1-2e-3 overfitting effect
+    single-seed grids cannot pin reliably.
+  * FwFM/result.md (3 rows): dim 8 worst (0.90883 < 0.91235, 0.91188).
+    INFO: the r04 replay (latent-factor data) had dim 16 worst instead;
+    re-checked on the calibrated log here and flagged either way.
+  * BST/result.md: the reference COLLAPSES at 2 blocks + >=4 heads +
+    sum pooling (0.84150, 0.85299 — rows 11-12). STRICT (stability, ours
+    vs the reference's failure): no cell of OUR grid may sit more than
+    0.02 below the grid best; our registered-parameter blocks should not
+    reproduce the collapse.
 
-Each assertion compares MEANS over the matching grid cells, so a single
-noisy cell cannot flip it. Exits nonzero on violation.
+Each assertion compares MEANS over matching grid cells so a single noisy
+cell cannot flip it.
 
 Usage: python scripts/check_sweep_directions.py \
-    --din SWEEP_DIN_r04.json --deepfm SWEEP_DEEPFM_r04.json \
-    --dcn SWEEP_DCN_CALIB_r04.json
+    --din SWEEP_DIN_r05.json --deepfm SWEEP_DEEPFM_r05.json \
+    --dcn SWEEP_DCN_CALIB_r05.json --afm SWEEP_AFM_r05.json \
+    --deepcrossing SWEEP_DEEPCROSSING_r05.json \
+    --fwfm SWEEP_FWFM_r05.json --bst SWEEP_BST_r05.json
 """
 
 import argparse
 import json
 import sys
+
+failures = []
+notes = []
 
 
 def load(path):
@@ -56,36 +76,50 @@ def mean_where(rows, **conds):
     return sum(sel) / len(sel), len(sel)
 
 
+def check(name, strict, ours_ok, detail):
+    tag = "STRICT" if strict else "INFO"
+    verdict = "OK" if ours_ok else ("VIOLATION" if strict else "DIVERGES")
+    print(f"[{tag}] {name}: {detail} -> {verdict}")
+    if strict and not ours_ok:
+        failures.append(name)
+    if not strict and not ours_ok:
+        notes.append(name)
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--din")
-    ap.add_argument("--deepfm")
-    ap.add_argument("--dcn")
+    for g in ("din", "deepfm", "dcn", "afm", "deepcrossing", "fwfm", "bst"):
+        ap.add_argument(f"--{g}")
     args = ap.parse_args()
-    failures = []
-
-    if args.din:
-        rows = load(args.din)
-        on, n1 = mean_where(rows, use_softmax="true")
-        off, n2 = mean_where(rows, use_softmax="false")
-        print(f"DIN softmax on {on:.5f} (n={n1}) vs off {off:.5f} (n={n2})"
-              f" -> {'OK' if on > off else 'VIOLATION'}")
-        if on <= off:
-            failures.append("din_softmax")
 
     if args.deepfm:
         rows = load(args.deepfm)
-        e2, n1 = mean_where(rows, num_epochs=2)
-        e1, n2 = mean_where(rows, num_epochs=1)
-        print(f"DeepFM 2-epoch {e2:.5f} (n={n1}) vs 1-epoch {e1:.5f} (n={n2})"
-              f" -> {'OK' if e2 > e1 else 'VIOLATION'}")
-        if e2 <= e1:
-            failures.append("deepfm_epochs")
+        e2, _ = mean_where(rows, num_epochs=2)
+        e1, _ = mean_where(rows, num_epochs=1)
+        check("deepfm_epochs", True, e2 > e1,
+              f"2-epoch {e2:.5f} vs 1-epoch {e1:.5f} "
+              f"(ref rows 1-2: 0.85093 vs 0.81140)")
+
+    if args.din:
+        rows = load(args.din)
+        if any("mini_batch_aware_regularization" in r["overrides"]
+               for r in rows):
+            off, _ = mean_where(rows, mini_batch_aware_regularization="false")
+            on, _ = mean_where(rows, mini_batch_aware_regularization="true")
+            check("din_mba_off_beats_on", True, off > on,
+                  f"MBA off {off:.5f} vs on {on:.5f} "
+                  f"(ref means 0.91134 vs 0.90434)")
+        son, _ = mean_where(rows, use_softmax="true")
+        soff, _ = mean_where(rows, use_softmax="false")
+        check("din_softmax", False, abs(son - soff) < 0.01 or son > soff,
+              f"softmax on {son:.5f} vs off {soff:.5f} "
+              f"(ref table FLAT: 0.90766 vs 0.90799 — no direction to "
+              f"assert, ADVICE r4)")
 
     if args.dcn:
         rows = load(args.dcn)
         widths = sorted({r["overrides"]["hidden_units"] for r in rows})
-        spreads, signs = [], []
+        spreads = []
         for w in widths:
             resp = sorted(
                 (int(r["overrides"]["num_cross_layer"]), r["eval_auc"])
@@ -94,21 +128,66 @@ def main():
             )
             aucs = [a for _, a in resp]
             spreads.append(max(aucs) - min(aucs))
-            signs.append(1 if aucs[-1] > aucs[0] else -1)
-            print(f"DCN width {w}: depth response {resp} "
+            print(f"  DCN width {w}: depth response {resp} "
                   f"(spread {spreads[-1]:.4f})")
-        nonflat = min(spreads) >= 0.0015 and len(set(signs)) == 1
-        print(f"DCN non-flat + sign-consistent across widths -> "
-              f"{'OK' if nonflat else 'VIOLATION'} "
-              f"(direction {'+' if signs[0] > 0 else '-'} vs reference +; "
-              "see docstring)")
-        if not nonflat:
-            failures.append("dcn_cross_depth_flat")
+        nonflat = min(spreads) >= 0.0015
+        check("dcn_cross_nonflat", True, nonflat,
+              f"min spread across widths {min(spreads):.4f} (>=0.0015)")
+        d_pos, _ = mean_where_depth_gt0(rows)
+        d_zero, _ = mean_where(rows, num_cross_layer=0)
+        check("dcn_cross_positive", True, d_pos > d_zero,
+              f"mean depth>0 {d_pos:.5f} vs depth=0 {d_zero:.5f} "
+              f"(ref: 0.91707/0.91655 vs 0.91416/0.91528)")
 
+    if args.afm:
+        rows = load(args.afm)
+        d16, _ = mean_where(rows, embedding_dim=16)
+        d8, _ = mean_where(rows, embedding_dim=8)
+        check("afm_dim16_beats_dim8", True, d16 > d8,
+              f"dim16 {d16:.5f} vs dim8 {d8:.5f} "
+              f"(ref: 3/3 attention_factors agree)")
+
+    if args.deepcrossing:
+        rows = load(args.deepcrossing)
+        u2, _ = mean_where(rows, residual_network_num=2)
+        u4, _ = mean_where(rows, residual_network_num=4)
+        check("deepcrossing_depth4_overfits", False, u4 < u2,
+              f"units=4 {u4:.5f} vs units=2 {u2:.5f} "
+              f"(ref: 0.91374 vs 0.91715 — depth hurts; a 1-2e-3 "
+              f"single-seed effect, INFO)")
+
+    if args.fwfm:
+        rows = load(args.fwfm)
+        d8, _ = mean_where(rows, embedding_dim=8)
+        d16, _ = mean_where(rows, embedding_dim=16)
+        d32, _ = mean_where(rows, embedding_dim=32)
+        check("fwfm_dim8_worst", False, d8 < d16 and d8 < d32,
+              f"dim8 {d8:.5f} dim16 {d16:.5f} dim32 {d32:.5f} "
+              f"(ref: dim8 worst 0.90883; the r04 latent-factor replay "
+              f"had dim16 worst — capacity-vs-data effects are "
+              f"generator-sensitive, INFO)")
+
+    if args.bst:
+        rows = load(args.bst)
+        aucs = [r["eval_auc"] for r in rows]
+        worst_gap = max(aucs) - min(aucs)
+        check("bst_no_collapse", True, worst_gap < 0.02,
+              f"grid best-worst gap {worst_gap:.4f} (<0.02; the "
+              f"reference collapsed to 0.8415 at 2 blocks/4 heads/sum — "
+              f"registered-param blocks must not reproduce that)")
+
+    if notes:
+        print(f"INFO divergences (documented, non-fatal): {notes}")
     if failures:
         print(f"FAILED: {failures}")
         sys.exit(1)
-    print("all directional checks pass")
+    print("all STRICT directional checks pass")
+
+
+def mean_where_depth_gt0(rows):
+    sel = [r["eval_auc"] for r in rows
+           if int(r["overrides"]["num_cross_layer"]) > 0]
+    return sum(sel) / len(sel), len(sel)
 
 
 if __name__ == "__main__":

@@ -1,43 +1,40 @@
-"""MFU / roofline artifact (VERDICT r3 #1).
+"""MFU / roofline artifact, round-5 form (VERDICT r3 #1, r4 #1).
 
 For each benched model this script compiles the REAL jitted train step
 (the same `Trainer._get_compiled("train")` executable the bench and the
-staged runner dispatch), then reports, per model:
+staged runner dispatch) and reports BOTH byte accountings, resolving
+round 4's open question (the 15x XLA-bytes-over-ideal gap):
 
-  * FLOPs/example and HBM bytes/example from XLA's analytic cost model of
-    the optimized HLO (`Compiled.cost_analysis()` — fusion-aware, so
-    "bytes accessed" approximates true HBM traffic, not the sum of every
-    logical intermediate);
-  * achieved FLOP/s and HBM GB/s from measured steady-state examples/s
-    (median-of-5 timed windows, honest `float()` fence — see
-    docs/REPRODUCING.md §5 for why `block_until_ready` is not enough);
-  * MFU (% of the v5e 197 TFLOP/s bf16 peak) and % of the 819 GB/s HBM
-    peak, which resource binds, the roofline-implied examples/s ceiling,
-    and what % of that ceiling the measured number reaches.
+  * `bytes_per_example` — XLA `cost_analysis()` "bytes accessed". Round 5
+    established this OVERCOUNTS real HBM traffic by ~an order of
+    magnitude on deeply-fused steps: it adds every fused op's full tensor
+    size even though those intermediates live in registers/VMEM (toy
+    proof + per-instruction decomposition in BYTES_r05.json /
+    rank_tpu/utils/hlo_bytes.py). Kept for continuity with MFU_r04.
+  * `real_bytes_per_example` — the entry-HLO buffer walk: actual
+    materialised buffer traffic (fusion boundaries, gathers at
+    touched-row size, async memory-space copies). For DCN this lands
+    ~1.3x above the perfect-fusion hand count, closing the r4 gap: the
+    "missing" 185 KB/example never existed.
+  * measured copy bandwidth — a jitted 1 GiB donated copy, the achievable
+    GB/s on THIS chip, so % figures rest on hardware, not the cost model.
 
-The XLA counts are grounded by `dcn_hand_count`: a from-first-principles
-formula for the DCN train step (tower matmul chain fwd+dgrad+wgrad,
-cross layers, embedding gathers + scatter-grads, dense Adam update over
-every table row, activation traffic). FLOPs are asserted to agree (they
-land within 1% — matmuls dominate and both count 2*M*N*K), grounding the
-compiler numbers for the architectures where hand-counting every einsum
-is error-prone (BST attention, CIN). The hand BYTES formula is a
-perfect-fusion LOWER BOUND (each activation written once fwd + read once
-bwd); the compiled program's real traffic is higher because every fusion
-boundary costs a write+read and f32->bf16 matmul-input casts are copies —
-an HLO tally shows e.g. the (8192,512) tower activation crossing ~20
-boundaries. Both are reported: `bytes_per_example` (XLA, = what the step
-actually moves, the number the %HBM/roofline uses) and
-`hand_count.ideal_bytes_per_example` (the un-reachable perfect-fusion
-floor).
+The roofline verdict changes accordingly: with real bytes, these steps
+run at single-digit % of both the MXU and the measured HBM line — the
+binding resource is per-instruction issue/dispatch (hundreds of small
+ops: per-table gathers/scatters/Adam updates), quantified by the t(B)
+affine fit in BYTES_r05.json and attacked by batch size, since fixed
+overhead amortises with B. `floors_us` makes the three candidate
+ceilings explicit per model.
+
+FLOPs are still cross-checked against `dcn_hand_count` (within 1%).
 
 The reference publishes no throughput/latency numbers anywhere
 (/root/reference/README.md — AUC tables only, hardware unspecified), so
-this roofline IS the perf bar: "speed of light" for d=16 CTR models is
-the bandwidth line, and pct_of_roofline says how close each step runs.
+this roofline IS the perf bar.
 
 Usage: python scripts/mfu_roofline.py [--models dcn,bst,din,xdeepfm]
-       [--batch 8192] [--json_out MFU_r04.json]
+       [--batch 8192] [--json_out MFU_r05.json]
 """
 
 import argparse
@@ -53,6 +50,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 STEPS = 30
 WARMUP = 5
 WINDOWS = 5
+MEASURED_BW_GBS = [819.0]  # overwritten by the copy-kernel measurement
 
 
 def dcn_hand_count(schema, cfg, batch_size):
@@ -135,11 +133,15 @@ def run_one(model_name, batch_size):
         b["_valid"] = np.ones((batch_size,), np.float32)
         batches.append(trainer._host_to_device(b))
 
+    from rank_tpu.utils.hlo_bytes import attribute_bytes
+
     state = trainer.init_state(batches[0])
     meters = trainer.meters_init()
     step_jit = trainer._get_compiled("train")
     compiled = step_jit.lower(state, meters, batches[0]).compile()
     costs = R.xla_step_costs(compiled)
+    real_rows = attribute_bytes(compiled.as_text(), index_len=batch_size)
+    real_bytes = sum(r[0] for r in real_rows)
 
     mem = None
     try:
@@ -172,6 +174,26 @@ def run_one(model_name, batch_size):
     rec.update(
         R.roofline(costs["flops"] / batch_size, costs["bytes"] / batch_size, eps)
     )
+    rec["real_bytes_per_example"] = round(real_bytes / batch_size, 1)
+    rec["xla_overcount_ratio"] = round(costs["bytes"] / max(real_bytes, 1), 2)
+    rec["entry_instructions"] = len(real_rows)
+    step_us = batch_size / eps * 1e6
+    rec["floors_us"] = {
+        "actual_step_us": round(step_us, 1),
+        "hbm_floor_us_at_measured_bw": round(
+            real_bytes / (MEASURED_BW_GBS[0] * 1e9) * 1e6, 1
+        ),
+        "mxu_floor_us": round(costs["flops"] / R.V5E_PEAK_FLOPS * 1e6, 1),
+    }
+    fl = rec["floors_us"]
+    rec["bound"] = (
+        "hbm" if fl["hbm_floor_us_at_measured_bw"] > 0.6 * step_us
+        else "mxu" if fl["mxu_floor_us"] > 0.6 * step_us
+        else "issue"
+    )
+    rec["real_hbm_bw_pct_of_measured"] = round(
+        100 * real_bytes / batch_size * eps / (MEASURED_BW_GBS[0] * 1e9), 1
+    )
     if mem:
         rec["memory_analysis"] = mem
 
@@ -197,15 +219,20 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--models", default="dcn,bst,din,xdeepfm")
     ap.add_argument("--batch", type=int, default=8192)
-    ap.add_argument("--json_out", default="MFU_r04.json")
+    ap.add_argument("--json_out", default="MFU_r05.json")
     args = ap.parse_args()
 
     from rank_tpu.utils import roofline as R
 
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from bytes_breakdown import copy_bandwidth_gbs
+
+    MEASURED_BW_GBS[0] = copy_bandwidth_gbs()
     out = {
         "chip": "TPU v5e (1 chip)",
         "peak_bf16_tflops": R.V5E_PEAK_FLOPS / 1e12,
         "peak_hbm_gbs": R.V5E_PEAK_HBM / 1e9,
+        "measured_copy_bandwidth_gbs": MEASURED_BW_GBS[0],
         "protocol": (
             f"XLA cost_analysis of the compiled train step; median-of-"
             f"{WINDOWS} windows x {STEPS} steps, float() fence; "
