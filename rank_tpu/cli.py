@@ -69,11 +69,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--l2_lambda", type=float, default=None)
     p.add_argument("--mini_batch_aware_regularization", type=_str2bool, default=None)
     p.add_argument("--num_cross_layer", type=int, default=None)
+    p.add_argument("--cross_frozen_random", type=_str2bool, default=None,
+                   help="reference-bug emulation: untrained N(0,1) cross "
+                   "weights (ops/cross.py CrossNetwork.frozen_random)")
     p.add_argument("--residual_internal_dim", type=int, default=None)
     p.add_argument("--residual_network_num", type=int, default=None)
     p.add_argument("--attention_factor", type=int, default=None)
     p.add_argument("--nhead", type=int, default=None)
     p.add_argument("--num_transformer_blocks", type=int, default=None)
+    p.add_argument("--attn_impl", type=str, default=None,
+                   choices=("vpu", "vpu2", "einsum"))
     p.add_argument("--pooling_method", type=str, default=None)
     p.add_argument("--tasks", type=str, default=None,
                    help="comma list for multi-task models")
@@ -141,6 +146,7 @@ _CFG_MAP = {
     "mini_batch_aware_regularization": bool,
     "attention_factor": int,
     "num_transformer_blocks": int,
+    "attn_impl": str,
     "pooling_method": str,
     "residual_internal_dim": int,
     "multihot_tags": bool,
@@ -154,6 +160,7 @@ _CFG_MAP = {
     "embedding_mode": str,
     "dense_init": str,
     "embedding_init": str,
+    "cross_frozen_random": bool,
 }
 
 

@@ -61,6 +61,9 @@ class ModelConfig:
     mini_batch_aware_regularization: bool = False
     # DCN
     num_cross_layers: int = 3
+    # emulate the reference's untrained-random-cross mechanism
+    # (cross_layer.py fresh-params bug; ops/cross.py CrossNetwork)
+    cross_frozen_random: bool = False
     # DeepCrossing
     residual_internal_dim: int = 256
     num_residual_units: int = 2
@@ -83,6 +86,11 @@ class ModelConfig:
     # field (cross_family.py AutoInt; measured only on BST — AutoInt
     # inherits the flip, its bf16 path is parity-tested in test_models).
     transformer_score_dtype: str = "bfloat16"
+    # BST/AutoInt attention formulation: 'vpu' (per-head broadcast-
+    # multiply loop), 'vpu2' (head-vectorized — avoids the per-head
+    # slice/concat layout copies, see ops/transformer.py), 'einsum'
+    # (classic batched matmuls; best for d_head >= 128).
+    attn_impl: str = "vpu"
     # xDeepFM
     cin_layer_sizes: Tuple[int, ...] = (128, 128)
     # FiBiNet

@@ -29,7 +29,8 @@ class DCN(RankModel):
         field_embs = self.tower_field_embeddings(coll, batch)
         x0 = jnp.concatenate([self.dense_input(batch)] + field_embs, axis=-1)
         cross = ops.CrossNetwork(
-            cfg.num_cross_layers, dense_init=cfg.dense_init, name="cross"
+            cfg.num_cross_layers, dense_init=cfg.dense_init,
+            frozen_random=cfg.cross_frozen_random, name="cross",
         )(x0)
         deep = ops.MLPTower(
             cfg.hidden_units, activation="relu", batch_norm=False,

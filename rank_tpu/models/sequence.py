@@ -97,6 +97,7 @@ class BST(RankModel):
                 compute_dtype=cfg.transformer_dtype,
                 score_dtype=cfg.transformer_score_dtype,
                 dense_init=cfg.dense_init,
+                attn_impl=cfg.attn_impl,
                 name=f"transformer_{i}",
             )(h, valid, train=train)
 

@@ -32,19 +32,34 @@ class CrossNetwork(nn.Module):
 
     num_layers: int
     dense_init: str = "lecun"
+    # reference-mechanism emulation: the reference re-creates its cross
+    # parameters inside forward on every call (cross_layer.py:16-20,
+    # torch.randn — std 1), so its published cross-depth gains come from
+    # UNTRAINED random quadratic features feeding the trained output
+    # layer. frozen_random=True reproduces that mechanism faithfully
+    # (N(0,1) weights held at init via stop_gradient) so the sweep
+    # replay can attribute the reference's direction to it — see
+    # scripts/check_sweep_directions.py and REPRODUCING.md §5f.
+    frozen_random: bool = False
 
     @nn.compact
     def __call__(self, x0: jnp.ndarray) -> jnp.ndarray:
+        import jax
+
         d = x0.shape[-1]
         x = x0
-        w_init = (
-            nn.initializers.normal(stddev=0.02)
-            if self.dense_init == "torch"
-            else nn.initializers.xavier_normal()
-        )
+        if self.frozen_random:
+            w_init = nn.initializers.normal(stddev=1.0)
+        elif self.dense_init == "torch":
+            w_init = nn.initializers.normal(stddev=0.02)
+        else:
+            w_init = nn.initializers.xavier_normal()
         for l in range(self.num_layers):
             w = self.param(f"w_{l}", w_init, (d, 1))
             b = self.param(f"b_{l}", nn.initializers.zeros, (d,))
+            if self.frozen_random:
+                w = jax.lax.stop_gradient(w)
+                b = jax.lax.stop_gradient(b)
             xw = x @ w  # (B, 1)
             x = x0 * xw + b + x
         return x

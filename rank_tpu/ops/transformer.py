@@ -81,7 +81,37 @@ class BSTTransformerBlock(nn.Module):
         v = dense("w_v")(values)
         inv_sqrt_dh = 1.0 / jnp.sqrt(jnp.asarray(dh, jnp.float32))
 
-        if self.attn_impl == "vpu":
+        if self.attn_impl == "vpu2":
+            # head-VECTORIZED broadcast-multiply form: one tensor for all
+            # heads ((B,T,T,h) scores, heads on the minor axis) instead
+            # of the per-head python loop. The loop variant's per-head
+            # column slices + concat produce ~2.7 GB/step of layout
+            # copies + ConcatBitcast traffic in the compiled program
+            # (BYTES_r05.json); this form gives XLA one fusable
+            # expression with no reslicing. Same math as 'vpu'.
+            lowp_scores = self.score_dtype == "bfloat16" and cdt != jnp.float32
+            q4 = q.reshape(b, t, h, dh)
+            k4 = k.reshape(b, t, h, dh)
+            v4 = v.reshape(b, t, h, dh)
+            sc = jnp.sum(
+                q4[:, :, None, :, :] * k4[:, None, :, :, :], axis=-1
+            )  # (B, Tq, Tk, h)
+            mask4 = key_valid[:, None, :, None]  # over queries & heads
+            if lowp_scores:
+                sc = sc * jnp.asarray(inv_sqrt_dh, cdt)
+                w = masked_softmax_lowp(
+                    sc, jnp.broadcast_to(mask4, sc.shape), axis=2
+                )
+            else:
+                sc = sc.astype(jnp.float32) * inv_sqrt_dh
+                w = masked_softmax(
+                    sc, jnp.broadcast_to(mask4, sc.shape), axis=2
+                ).astype(cdt)
+            context = jnp.sum(
+                w[..., None] * v4[:, None, :, :, :], axis=2
+            )  # (B, Tq, h, dh)
+            context = context.reshape(b, t, d)
+        elif self.attn_impl == "vpu":
             lowp_scores = self.score_dtype == "bfloat16" and cdt != jnp.float32
             mask2 = key_valid[:, None, :]  # (B, 1, T) over queries
             ctxs = []

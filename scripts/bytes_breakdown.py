@@ -78,29 +78,32 @@ def toy_fusion_overcount():
     }
 
 
-def copy_bandwidth_gbs(nbytes=2**30, reps=8):
-    """Measured achievable HBM bandwidth: jitted donated f32 copy (read +
-    write = 2x buffer size per invocation), median of reps, float fence."""
+def copy_bandwidth_gbs(nbytes=2**30, inner=24, reps=5):
+    """Measured achievable HBM bandwidth: ONE jitted program running
+    `inner` sequential full-buffer bumps via lax.fori_loop (device-side
+    loop — a naive one-dispatch-per-copy version measures the ~29 ms
+    tunnel dispatch+fence floor, not the chip: it reads ~82 GB/s).
+    Each bump reads + writes the buffer: 2*nbytes*inner per invocation."""
     import jax
     import jax.numpy as jnp
 
     n = nbytes // 4
 
     @jax.jit
-    def bump(x):
-        return x + 1.0
+    def bump_n(x):
+        return jax.lax.fori_loop(0, inner, lambda i, v: v + 1.0, x)
 
     x = jnp.zeros((n,), jnp.float32)
-    x = bump(x)  # warmup/compile
+    x = bump_n(x)  # warmup/compile
     float(x[0])
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        x = bump(x)
+        x = bump_n(x)
         float(x[0])  # real fetch fence (REPRODUCING.md §5)
         times.append(time.perf_counter() - t0)
     dt = sorted(times)[len(times) // 2]
-    return round(2 * nbytes / dt / 1e9, 1)
+    return round(2 * nbytes * inner / dt / 1e9, 1)
 
 
 def analyze_model(model_name, batch_size, time_step=True, fit_issue=False):

@@ -42,7 +42,7 @@ def main():
                     help="train DCN on the generated data (uses the TPU)")
     ap.add_argument("--probe_epochs", type=int, default=4)
     ap.add_argument("--cache_dir", default="/tmp/rank_tpu_calibrated")
-    ap.add_argument("--json_out", default="CALIBRATION_r04.json")
+    ap.add_argument("--json_out", default="CALIBRATION_r05.json")
     args = ap.parse_args()
 
     from rank_tpu.data.calibrated import (

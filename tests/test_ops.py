@@ -479,3 +479,51 @@ class TestFLEN:
             np.asarray(ops.fm_second_order(emb))[:, 0],
             rtol=1e-4,
         )
+
+
+def test_bst_attn_impl_vpu2_matches_vpu_and_einsum():
+    """Head-vectorized vpu2 attention (round-5 layout-copy fix) matches
+    the per-head vpu loop and the einsum form on identical params."""
+    import jax
+    import jax.numpy as jnp
+
+    from rank_tpu.ops.transformer import BSTTransformerBlock
+
+    b, t, d, h = 4, 7, 16, 2
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(b, t, d)), jnp.float32)
+    valid = jnp.asarray(np.arange(t)[None, :] < np.array([[3], [7], [1], [5]]))
+    outs = {}
+    for impl in ("vpu", "vpu2", "einsum"):
+        blk = BSTTransformerBlock(
+            d_model=d, num_heads=h, max_len=t, dropout_rate=0.0,
+            compute_dtype="float32", score_dtype="float32", attn_impl=impl,
+        )
+        var = blk.init(jax.random.PRNGKey(0), x, valid)
+        outs[impl] = np.asarray(blk.apply(var, x, valid))
+    np.testing.assert_allclose(outs["vpu"], outs["vpu2"], rtol=0, atol=1e-5)
+    np.testing.assert_allclose(outs["einsum"], outs["vpu2"], rtol=0, atol=1e-5)
+
+
+def test_bst_attn_impl_vpu2_bf16_close():
+    """vpu2 under the production bf16 compute/score dtypes stays close to
+    the f32 vpu reference (bf16 tolerance)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rank_tpu.ops.transformer import BSTTransformerBlock
+
+    b, t, d, h = 4, 7, 16, 2
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(b, t, d)), jnp.float32)
+    valid = jnp.asarray(np.arange(t)[None, :] < np.array([[3], [7], [1], [5]]))
+    ref_blk = BSTTransformerBlock(
+        d_model=d, num_heads=h, max_len=t, dropout_rate=0.0,
+        compute_dtype="float32", score_dtype="float32", attn_impl="vpu",
+    )
+    var = ref_blk.init(jax.random.PRNGKey(0), x, valid)
+    ref = np.asarray(ref_blk.apply(var, x, valid))
+    got_blk = BSTTransformerBlock(
+        d_model=d, num_heads=h, max_len=t, dropout_rate=0.0,
+        compute_dtype="bfloat16", score_dtype="bfloat16", attn_impl="vpu2",
+    )
+    got = np.asarray(got_blk.apply(var, x, valid), np.float32)
+    np.testing.assert_allclose(ref, got, rtol=0, atol=0.05)
