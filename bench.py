@@ -26,7 +26,13 @@ import time
 
 import numpy as np
 
-BATCH_JAX = 8192   # TPU batch (amortises dispatch latency; quality runs use 1024)
+# TPU batch per model. The t(B) issue-overhead fit (BYTES_r05.json) shows
+# the DCN step is issue/latency-bound with a ~1.4 ms batch-independent
+# floor — 52% of the 2.66 ms step at B=8192 — so a bigger batch amortises
+# it (B=65536: 17.7 ms -> ~3.7M ex/s, +20%). BST's step is traffic-bound
+# and near-optimal at 8192 (B=16384 measured WORSE: 314k vs 332k ex/s).
+BATCH_JAX = {"dcn": 65536, "bst": 8192}
+BATCH_JAX_DEFAULT = 8192
 BATCH_TORCH = 1024  # reference default batch size (deepfm.py:304)
 JAX_STEPS = 30
 JAX_WARMUP = 5
@@ -44,16 +50,17 @@ def bench_jax(model_name: str) -> "tuple[float, dict | None]":
     from rank_tpu.train import TrainConfig, Trainer
     from rank_tpu.train import metrics as M
 
+    batch_jax = BATCH_JAX.get(model_name, BATCH_JAX_DEFAULT)
     trainer = Trainer(
         WECHAT_SCHEMA,
         default_config(model_name),
-        TrainConfig(batch_size=BATCH_JAX, log_every=0),
+        TrainConfig(batch_size=batch_jax, log_every=0),
     )
-    data = make_synthetic_dataset(WECHAT_SCHEMA, num_rows=BATCH_JAX * 4, seed=0)
+    data = make_synthetic_dataset(WECHAT_SCHEMA, num_rows=batch_jax * 4, seed=0)
     batches = []
     for i in range(4):
-        b = {k: v[i * BATCH_JAX : (i + 1) * BATCH_JAX] for k, v in data.items()}
-        b["_valid"] = np.ones((BATCH_JAX,), np.float32)
+        b = {k: v[i * batch_jax : (i + 1) * batch_jax] for k, v in data.items()}
+        b["_valid"] = np.ones((batch_jax,), np.float32)
         batches.append(trainer._host_to_device(b))
 
     state = trainer.init_state(batches[0])
@@ -83,9 +90,9 @@ def bench_jax(model_name: str) -> "tuple[float, dict | None]":
         float(meters["loss"])  # honest end-of-window fence
         times.append(time.perf_counter() - t0)
     dt = sorted(times)[len(times) // 2]
-    eps = BATCH_JAX * JAX_STEPS / dt
+    eps = batch_jax * JAX_STEPS / dt
     mfu = (
-        R.roofline(costs["flops"] / BATCH_JAX, costs["bytes"] / BATCH_JAX, eps)
+        R.roofline(costs["flops"] / batch_jax, costs["bytes"] / batch_jax, eps)
         if costs
         else None
     )
@@ -1092,8 +1099,9 @@ def main():
             "mfu": mfu,
         }
         roof = (
-            f"  mfu={mfu['mfu_pct']}% hbm_bw={mfu['hbm_bw_pct']}% "
-            f"({mfu['bound']}-bound, {mfu['pct_of_roofline']}% of roofline)"
+            f"  mfu={mfu['mfu_pct']}% xla_hbm_bw={mfu['hbm_bw_pct']}% "
+            "(XLA-cost-model bytes overcount real traffic ~12x/2.7x — "
+            "the step is issue-bound; BYTES_r05.json, MFU_r05.json)"
             if mfu
             else ""
         )
@@ -1125,9 +1133,12 @@ def main():
                 "value": round(value, 1),
                 "unit": "examples/s/chip",
                 "vs_baseline": round(vs, 2),
-                # roofline context (scripts/mfu_roofline.py, MFU_r04.json):
-                # these models are HBM-bandwidth-bound at d=16, so the
-                # meaningful ceiling is hbm_bw_pct, not MFU
+                # roofline context: mfu vs the v5e MXU peak; hbm_bw_pct
+                # is vs XLA's cost-model bytes, which round 5 showed
+                # OVERCOUNT real HBM traffic ~12x (DCN) / 2.7x (BST) by
+                # counting fusion-internal tensors — real traffic puts
+                # both steps issue-bound, not bandwidth-bound
+                # (BYTES_r05.json / MFU_r05.json; scripts/bytes_breakdown.py)
                 "mfu_pct": _mfu_key("mfu_pct"),
                 "hbm_bw_pct": _mfu_key("hbm_bw_pct"),
             }

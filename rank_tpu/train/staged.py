@@ -377,12 +377,11 @@ class StagedRunner:
         sds = lambda t: jax.tree_util.tree_map(
             lambda x: jax.ShapeDtypeStruct(jnp.shape(x), x.dtype), t
         )
+        # the step consumes the rank-3 block-interleaved epoch view, not
+        # the rank-2 packed matrix — take its aval from the shuffle fn
+        shuffled3 = jax.eval_shape(self._shuffle_fn, self.train_staged, 0)
         lowered = self._train_step.lower(
-            sds(state), sds(meters),
-            jax.ShapeDtypeStruct(
-                self.train_staged.shape, self.train_staged.dtype
-            ),
-            0,
+            sds(state), sds(meters), shuffled3, 0
         )
         ma = lowered.compile().memory_analysis()
         if ma is None:

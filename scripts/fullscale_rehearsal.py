@@ -144,7 +144,11 @@ def run_one(model_name, train_d, eval_d, epochs, batch, out_root,
         resident_samples.append(resident_hbm_gb())  # after eval + export
         resident = [r for r in resident_samples if r is not None]
         rec["resident_hbm_gb"] = max(resident) if resident else None
-        ma = runner.step_memory_analysis(state)
+        try:
+            ma = runner.step_memory_analysis(state)
+        except Exception as e:  # must not void a finished training run
+            print(f"step_memory_analysis failed: {e!r}", flush=True)
+            ma = None
         rec["step_temp_gb"] = None if ma is None else ma["temp_gb"]
         if rec["resident_hbm_gb"] is not None and ma is not None:
             rec["peak_hbm_gb"] = round(
