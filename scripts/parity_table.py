@@ -54,39 +54,35 @@ CALIB_HEADER = """# Calibrated-regime head-to-heads: rank_tpu (TPU) vs torch (CP
 Same protocol as PARITY_RESULTS.md but on the EDA-calibrated synthetic
 log (`rank_tpu/data/calibrated.py`, scale 0.05: 166,115 train / 30,452
 eval rows, day-8-13/day-14 split, read_comment rate 3.56%) — the
-reference's AUC regime (VERDICT r3 #2), not the old latent-factor
-sampler's 0.78 ceiling. 3 epochs, batch 1024, Adam lr 0.005; seeds
-42/43/44 per side. Runner: `scripts/parity_check.py --model M
---calibrated 0.05 --seed S --json_out PARITY_CALIB_r04.jsonl`;
-regenerate with `python scripts/parity_table.py --jsonl
-PARITY_CALIB_r04.jsonl --out PARITY_CALIB_r04.md --calibrated`.
-
-| Model | rank_tpu eval AUC | torch eval AUC | delta | ours train s | torch train s |
-|---|---|---|---|---|---|
+reference's AUC regime, since round 5 with id-pair crossing structure and
+exposure concentration (Bayes ceiling 0.971, models land ~0.90). Our side
+runs `--dense_init torch` (torch nn.Linear init family, ops/mlp.py) so
+the comparison measures learning dynamics, not init families — the fix
+that closed round 4's 6/6-negative sign pattern and its collapsed DCN
+seed (PARITY_CALIB_r04.md "HONEST OPEN ITEM"). 3 epochs, batch 1024,
+Adam lr 0.005; seeds 42/43/44 per side. Runner: `scripts/parity_check.py
+--model M --calibrated 0.05 --seed S --dense_init torch --json_out
+PARITY_CALIB_r05.jsonl`; regenerate with `python scripts/parity_table.py
+--jsonl PARITY_CALIB_r05.jsonl --out PARITY_CALIB_r05.md --calibrated`.
 """
 
 CALIB_NOTES = """
 Notes:
-- both sides land at AUC 0.930-0.938 — the regime the reference's
-  result.md tables live in (published flagship AUCs 0.912-0.919 on the
-  real data; the calibrated generator's Bayes ceiling is a bit higher).
 - eval is 30,452 rows with ~1,090 positives, so the per-seed AUC
   standard error is ~0.004; single-seed deltas of that size are noise,
-  which is why every model carries 3 seeds here.
-- HONEST OPEN ITEM: all six mean deltas are mildly negative
-  (−0.0009..−0.0060; none beyond −2σ, but 6/6 signs ≈ p=0.03). Two
-  controlled probes rule out the obvious causes: a 6-epoch DCN run
-  keeps the gap (−0.0041 — not early-training dynamics) and forcing
-  true-f32 MXU passes (matmul_precision=highest) does not close it
-  (0.93368 vs 0.93467 bf16-pass — not TPU matmul precision; both
-  within seed noise). The driver is per-seed variance on OUR side
-  (dcn across 3 seeds: 0.9347/0.9348/0.9252 — one collapsed run — vs
-  torch's stable 0.935-0.940): the remaining structural difference is
-  the tower-init family (flax lecun_normal + zero bias vs torch
-  kaiming_uniform + uniform bias), which these 3-epoch imbalanced-label
-  runs appear sensitive to. On the old latent-factor regime the same
-  code was positive 18/18 (PARITY_RESULTS.md). Round-5 item: a
-  torch-matched dense-init option to close the comparison.
+  which is why every model carries 3 seeds.
+- round-4 -> round-5 closure: r04 had 6/6 mildly-negative mean deltas
+  (p~=0.03) and one collapsed DCN seed (0.9252 vs 0.9347/0.9348). With
+  the torch-matched dense init (uniform +-1/sqrt(fan_in) kernel+bias;
+  DCN cross weights N(0,0.02) instead of xavier's ~0.24 std at d0=50),
+  4/6 mean deltas are positive, the remaining two (din -0.0024, bst
+  -0.0012) are within 1 sigma of zero with mixed per-seed signs, and no
+  seed collapses (all 18 runs land 0.897-0.911). The sign-consistent
+  pattern is gone.
+- the r05 generator's labels are harder than r04's (id-pair crossing
+  terms reachable only through second-order learning), which is why both
+  sides sit at ~0.90 here vs 0.93-0.94 on the r04 log — the regime
+  comparison with the reference's published 0.912-0.919 is unchanged.
 """
 
 
