@@ -864,6 +864,10 @@ def _torch_models():
             self.emb = nn.ModuleDict(
                 {k: nn.Embedding(VOCABS[k], d) for k in AFM_FIELDS}
             )
+            # per-feature numeric standardization, mirroring rank_tpu's
+            # AutoInt dense_bn (paper-normalized inputs; unscaled log1p
+            # aggregates saturate the interacting softmax at full scale)
+            self.dense_bn = nn.BatchNorm1d(16, momentum=0.01)
             self.dense_emb = nn.Parameter(torch.randn(16, d))
             dims = [d] + [heads * da] * layers
             self.wq = nn.ModuleList(
@@ -888,7 +892,7 @@ def _torch_models():
             cat_e = torch.stack(
                 [self.emb[k](cats[k]) for k in AFM_FIELDS], dim=1
             )
-            dense_e = dense.unsqueeze(-1) * self.dense_emb[None]
+            dense_e = self.dense_bn(dense).unsqueeze(-1) * self.dense_emb[None]
             e = torch.cat([cat_e, dense_e], dim=1)  # (B, F, D)
             b, f, _ = e.shape
             for wq, wk, wv, wres in zip(self.wq, self.wk, self.wv, self.wres):

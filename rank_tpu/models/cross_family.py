@@ -132,6 +132,15 @@ class AutoInt(RankModel):
         cat_e = jnp.stack([tables[f](batch[f]) for f in AFM_FIELDS], axis=1)
 
         dense = self.dense_input(batch)  # (B, Nd)
+        # per-feature standardization before the value * vector embedding
+        # (paper section 3.2 assumes normalized numerics): the WeChat
+        # log1p aggregates reach ~12 (play/stay are in ms), and unscaled
+        # values saturate the interacting layers' softmax — measured as
+        # an AUC-0.5 collapse at the full 3.3M-row calibrated scale
+        # (RESULTS_fullscale_r05.json round-5 note).
+        dense = nn.BatchNorm(
+            use_running_average=not train, momentum=0.99, name="dense_bn"
+        )(dense)
         w_dense = self.param(
             "dense_emb",
             INITIALIZERS[cfg.embedding_init],
