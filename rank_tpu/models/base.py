@@ -87,9 +87,10 @@ class ModelConfig:
     # inherits the flip, its bf16 path is parity-tested in test_models).
     transformer_score_dtype: str = "bfloat16"
     # BST/AutoInt attention formulation: 'vpu' (per-head broadcast-
-    # multiply loop), 'vpu2' (head-vectorized — avoids the per-head
-    # slice/concat layout copies, see ops/transformer.py), 'einsum'
-    # (classic batched matmuls; best for d_head >= 128).
+    # multiply loop — the measured winner, ATTNIMPL_r05.json), 'vpu2'
+    # (head-vectorized; removes the per-head layout copies but measured
+    # 0.85x — see ops/transformer.py), 'einsum' (classic batched
+    # matmuls; best for d_head >= 128).
     attn_impl: str = "vpu"
     # xDeepFM
     cin_layer_sizes: Tuple[int, ...] = (128, 128)

@@ -84,11 +84,15 @@ class BSTTransformerBlock(nn.Module):
         if self.attn_impl == "vpu2":
             # head-VECTORIZED broadcast-multiply form: one tensor for all
             # heads ((B,T,T,h) scores, heads on the minor axis) instead
-            # of the per-head python loop. The loop variant's per-head
-            # column slices + concat produce ~2.7 GB/step of layout
-            # copies + ConcatBitcast traffic in the compiled program
-            # (BYTES_r05.json); this form gives XLA one fusable
-            # expression with no reslicing. Same math as 'vpu'.
+            # of the per-head python loop — built to remove the ~2.7
+            # GB/step of per-head slice/concat layout copies BYTES_r05
+            # attributed to the 'vpu' loop. MEASURED AND REFUTED as a
+            # speedup: interleaved A/B at B=8192 gives vpu 327k ex/s,
+            # vpu2 277k (0.85x), einsum 290k (ATTNIMPL_r05.json) — the
+            # h-minor (B,T,T,h) layout pads h=2 onto 128 lanes, costing
+            # more than the removed copies, and the step is issue-bound
+            # anyway (MFU_r05.json). Kept as a tested pattern; 'vpu'
+            # stays the default. Same math as 'vpu'.
             lowp_scores = self.score_dtype == "bfloat16" and cdt != jnp.float32
             q4 = q.reshape(b, t, h, dh)
             k4 = k.reshape(b, t, h, dh)
