@@ -40,9 +40,9 @@ Notes:
   printed by the runner.
 - times are wall-clock including compile; the TPU tunnel adds
   100-400 s of compile+transfer per model (docs/REPRODUCING.md §5).
-- bst is the one remaining single-seed row here (its ours-side costs
-  ~29 min/seed at these row counts); it carries 3 seeds per side in the
-  calibrated-regime table instead (PARITY_CALIB_r04.md).
+- round 5 completed the seed matrix: every model including bst now
+  carries 3 seeds (bst deltas +0.0031/+0.0160/-0.0070, mean +0.0040);
+  the calibrated-regime table is PARITY_CALIB_r05.md.
 - the four mildly-negative mean rows (afm/deepfm/ffm/pnn) are the
   categorical-only/low-signal models whose AUCs sit at 0.50-0.68 on
   BOTH sides; their sigmas are as large as their deltas.
